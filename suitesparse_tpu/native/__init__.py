@@ -86,37 +86,41 @@ def _load():
         return _dll
 
 
+def has(name: str) -> bool:
+    """Whether the native library exposes entry point ``name``."""
+    dll = _load()
+    return dll is not None and hasattr(dll, name)
+
+
 def _declare(dll) -> None:
     c = ctypes.c_int64
     d = ctypes.c_double
-    dll.sstpu_amd.restype = c
-    dll.sstpu_amd.argtypes = [c, _i64, _i64, _i64, d, c]
-    dll.sstpu_etree.restype = None
-    dll.sstpu_etree.argtypes = [c, _i64, _i64, _i64, c]
-    dll.sstpu_postorder.restype = None
-    dll.sstpu_postorder.argtypes = [c, _i64, _i64]
-    dll.sstpu_col_counts.restype = None
-    dll.sstpu_col_counts.argtypes = [c, c, _i64, _i64, _i64, _i64, _i64, c]
-    dll.sstpu_maxtrans.restype = c
-    dll.sstpu_maxtrans.argtypes = [c, c, _i64, _i64, _i64, d]
-    dll.sstpu_strongcomp.restype = c
-    dll.sstpu_strongcomp.argtypes = [c, _i64, _i64, _i64, _i64]
-    dll.sstpu_lu_factor.restype = c
-    dll.sstpu_lu_factor.argtypes = [
+
+    def maybe(name, restype, argtypes):
+        if hasattr(dll, name):
+            fn = getattr(dll, name)
+            fn.restype = restype
+            fn.argtypes = argtypes
+
+    maybe("sstpu_amd", c, [c, _i64, _i64, _i64, d, c])
+    maybe("sstpu_etree", None, [c, _i64, _i64, _i64, c])
+    maybe("sstpu_postorder", None, [c, _i64, _i64])
+    maybe("sstpu_col_counts", None, [c, c, _i64, _i64, _i64, _i64, _i64, c])
+    maybe("sstpu_maxtrans", c, [c, c, _i64, _i64, _i64, d])
+    maybe("sstpu_strongcomp", c, [c, _i64, _i64, _i64, _i64])
+    maybe("sstpu_lu_factor", c, [
         c, _i64, _i64, _f64,      # n, Ap, Ai, Ax (CSC of block)
         d,                        # pivot tolerance
-        c,                        # lsize estimate (capacity per factor)
+        c,                        # capacity per factor (grown by caller on -1)
         _i64, _i64, _f64,         # Lp, Li, Lx out
         _i64, _i64, _f64,         # Up, Ui, Ux out
-        _i64, _i64,               # P out (row perm), pinv workspace
-    ]
-    dll.sstpu_lu_refactor.restype = c
-    dll.sstpu_lu_refactor.argtypes = [
+        _i64,                     # P out (pivot row of step k)
+    ])
+    maybe("sstpu_lu_refactor", c, [
         c, _i64, _i64, _f64,
         _i64, _i64, _f64, _i64, _i64, _f64, _i64,
-    ]
-    dll.sstpu_colamd.restype = c
-    dll.sstpu_colamd.argtypes = [c, c, _i64, _i64, _i64, d, d]
+    ])
+    maybe("sstpu_colamd", c, [c, c, _i64, _i64, _i64, d, d])
 
 
 def available() -> bool:

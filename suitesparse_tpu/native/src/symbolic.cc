@@ -1,0 +1,151 @@
+// Symbolic-analysis kernels: elimination tree, postorder, column counts.
+//
+// Native fast path for suitesparse_tpu.symbolic.etree (same algorithms as the
+// Python oracles there; see that module's docstring for the reference analogs:
+// cholmod_etree.c:81, cholmod_postorder.c, cholmod_rowcolcounts.c:184,
+// cs_etree/cs_post/cs_counts). Implemented from Liu (1986) and
+// Gilbert–Ng–Peyton (1994).
+
+#include "common.h"
+
+// etree: if ata_nrow >= 0, computes the column etree of A'A for an
+// nrow=ata_nrow CSC input; else the etree of symmetric A (upper triangle used).
+SSTPU_API void sstpu_etree(i64 n, const i64* Ap, const i64* Ai, i64* parent,
+                           i64 ata_nrow) {
+  std::vector<i64> ancestor(n, -1);
+  for (i64 j = 0; j < n; j++) parent[j] = -1;
+  if (ata_nrow >= 0) {
+    std::vector<i64> prev_col(ata_nrow, -1);
+    for (i64 k = 0; k < n; k++) {
+      for (i64 p = Ap[k]; p < Ap[k + 1]; p++) {
+        i64 i = prev_col[Ai[p]];
+        while (i != -1 && i < k) {
+          i64 nxt = ancestor[i];
+          ancestor[i] = k;
+          if (nxt == -1) { parent[i] = k; break; }
+          i = nxt;
+        }
+        prev_col[Ai[p]] = k;
+      }
+    }
+  } else {
+    for (i64 k = 0; k < n; k++) {
+      for (i64 p = Ap[k]; p < Ap[k + 1]; p++) {
+        i64 i = Ai[p];
+        while (i != -1 && i < k) {
+          i64 nxt = ancestor[i];
+          ancestor[i] = k;
+          if (nxt == -1) { parent[i] = k; break; }
+          i = nxt;
+        }
+      }
+    }
+  }
+}
+
+SSTPU_API void sstpu_postorder(i64 n, const i64* parent, i64* post) {
+  std::vector<i64> head(n, -1), next(n, -1), stack(n);
+  for (i64 v = n - 1; v >= 0; v--) {
+    i64 p = parent[v];
+    if (p != -1) { next[v] = head[p]; head[p] = v; }
+  }
+  i64 k = 0;
+  for (i64 root = 0; root < n; root++) {
+    if (parent[root] != -1) continue;
+    i64 top = 0;
+    stack[top] = root;
+    while (top >= 0) {
+      i64 node = stack[top];
+      i64 child = head[node];
+      if (child == -1) {
+        post[k++] = node;
+        top--;
+      } else {
+        head[node] = next[child];
+        stack[++top] = child;
+      }
+    }
+  }
+}
+
+namespace {
+inline i64 uf_find(std::vector<i64>& up, i64 x) {
+  i64 root = x;
+  while (up[root] != root) root = up[root];
+  while (up[x] != root) { i64 nx = up[x]; up[x] = root; x = nx; }
+  return root;
+}
+
+inline void process_edge(i64 i, i64 j, const std::vector<i64>& first,
+                         std::vector<i64>& maxfirst, std::vector<i64>& prevleaf,
+                         std::vector<i64>& up, i64* count) {
+  if (i <= j || first[j] <= maxfirst[i]) return;
+  maxfirst[i] = first[j];
+  i64 jprev = prevleaf[i];
+  count[j] += 1;
+  if (jprev != -1) count[uf_find(up, jprev)] -= 1;
+  prevleaf[i] = j;
+}
+}  // namespace
+
+// col_counts: counts[j] = nnz(L(:,j)) incl. diagonal, for chol(A) (ata=0,
+// input = lower-triangle-by-column CSC, i.e. entries i >= j present; extra
+// entries with i < j are ignored) or chol(A'A) (ata=1, input = A in CSC with
+// nrow rows).
+SSTPU_API void sstpu_col_counts(i64 n, i64 nrow, const i64* Ap, const i64* Ai,
+                                const i64* parent, const i64* post, i64* counts,
+                                i64 ata) {
+  std::vector<i64> first(n, -1), maxfirst(n, -1), prevleaf(n, -1), up(n);
+  std::vector<i64> delta(n, 0);
+  for (i64 j = 0; j < n; j++) up[j] = j;
+  for (i64 k = 0; k < n; k++) {
+    i64 j = post[k];
+    delta[j] = (first[j] == -1) ? 1 : 0;
+    for (i64 t = j; t != -1 && first[t] == -1; t = parent[t]) first[t] = k;
+  }
+
+  // ata mode: rows of A bucketed by least postorder position of their columns
+  std::vector<i64> head, nextrow, ATp, ATi, ipost;
+  if (ata) {
+    // build A' (rows of A by row index) via counting sort
+    ATp.assign(nrow + 1, 0);
+    ATi.resize(Ap[n]);
+    for (i64 p = 0; p < Ap[n]; p++) ATp[Ai[p] + 1]++;
+    for (i64 i = 0; i < nrow; i++) ATp[i + 1] += ATp[i];
+    {
+      std::vector<i64> w(ATp.begin(), ATp.end() - 1);
+      for (i64 j = 0; j < n; j++)
+        for (i64 p = Ap[j]; p < Ap[j + 1]; p++) ATi[w[Ai[p]]++] = j;
+    }
+    ipost.resize(n);
+    for (i64 k = 0; k < n; k++) ipost[post[k]] = k;
+    head.assign(n + 1, -1);
+    nextrow.assign(nrow, -1);
+    for (i64 i = 0; i < nrow; i++) {
+      i64 kmin = n;
+      for (i64 p = ATp[i]; p < ATp[i + 1]; p++)
+        kmin = std::min(kmin, ipost[ATi[p]]);
+      nextrow[i] = head[kmin];
+      head[kmin] = i;
+    }
+  }
+
+  for (i64 k = 0; k < n; k++) {
+    i64 j = post[k];
+    if (parent[j] != -1) delta[parent[j]] -= 1;
+    if (ata) {
+      for (i64 i = head[k]; i != -1; i = nextrow[i])
+        for (i64 p = ATp[i]; p < ATp[i + 1]; p++)
+          process_edge(ATi[p], j, first, maxfirst, prevleaf, up, delta.data());
+    } else {
+      for (i64 p = Ap[j]; p < Ap[j + 1]; p++)
+        process_edge(Ai[p], j, first, maxfirst, prevleaf, up, delta.data());
+    }
+    if (parent[j] != -1) up[j] = parent[j];
+  }
+  for (i64 j = 0; j < n; j++) counts[j] = delta[j];
+  for (i64 k = 0; k < n; k++) {
+    i64 j = post[k];
+    if (parent[j] != -1) counts[parent[j]] += counts[j];
+  }
+}

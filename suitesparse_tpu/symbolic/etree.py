@@ -39,8 +39,12 @@ def etree(A: CSC, ata: bool = False) -> np.ndarray:
 
     Returns ``parent`` with parent[root] = -1. Liu's algorithm with path
     compression via an ``ancestor`` array; the ``ata`` variant threads through
-    ``prev_col`` so A'A is never formed.
+    ``prev_col`` so A'A is never formed. Dispatches to the native C++ kernel
+    when built (bit-identical result; the Python below is the oracle).
     """
+    from .. import native
+    if native.available():
+        return native.etree(A.ncol, A.indptr, A.indices, ata=ata, nrow=A.nrow)
     if ata:
         AT = A  # we iterate columns of A; rows seen per column
         n = A.ncol
@@ -93,6 +97,9 @@ def postorder(parent: np.ndarray, weights: np.ndarray | None = None) -> np.ndarr
     assumes). ``weights`` reserved for weighted postorder (cholmod_postorder
     analog); currently ignored beyond tie-breaks.
     """
+    from .. import native
+    if native.available() and weights is None:
+        return native.postorder(parent)
     n = parent.size
     # build child lists: head/next with children pushed in reverse so the
     # pop order is ascending
@@ -176,6 +183,14 @@ def col_counts(A: CSC, parent: np.ndarray, post: np.ndarray,
     Reference analog: ``cholmod_rowcolcounts.c`` / ``cs_counts.c`` (+``cs_leaf.c``).
     Counts include the diagonal.
     """
+    from .. import native
+    if native.available():
+        if ata:
+            return native.col_counts(A.ncol, A.nrow, A.indptr, A.indices,
+                                     parent, post, True)
+        Alow = A.transpose(values=False) if A.sym == 1 else A
+        return native.col_counts(A.ncol, A.nrow, Alow.indptr, Alow.indices,
+                                 parent, post, False)
     n = parent.size
     delta = np.zeros(n, dtype=np.int64)
     # first-descendant computation doubles as leaf detection: node j is a leaf
