@@ -1,0 +1,136 @@
+"""Supernodal symbolic + multifrontal numeric tests (host oracle, device path)."""
+
+import numpy as np
+import pytest
+
+import suitesparse_tpu as sst
+from suitesparse_tpu.config import FactorKind
+from suitesparse_tpu.io import fixtures
+from suitesparse_tpu.numeric import simplicial, supernodal, supernodal_device
+from suitesparse_tpu.ordering.amd import amd_order
+from suitesparse_tpu.sparse import residual_norm
+from suitesparse_tpu.symbolic.supernodes import analyze_supernodal
+
+CFG64 = sst.DEFAULT.replace(compute_dtype="float64")
+
+
+def spd_cases():
+    cases = [("lap2d_16", lambda: fixtures.laplacian_2d(16)),
+             ("banded", lambda: fixtures.banded_spd(200, 6, seed=3)),
+             ("rand_spd", lambda: fixtures.random_spd(150, 0.05, seed=4))]
+    if fixtures.have_reference():
+        cases.append(("bcsstk01", lambda: fixtures.load_demo("bcsstk01")))
+    return cases
+
+
+@pytest.mark.parametrize("name,gen", spd_cases(), ids=[c[0] for c in spd_cases()])
+def test_supernodal_symbolic_invariants(name, gen):
+    A = gen()
+    n = A.ncol
+    S = analyze_supernodal(A, amd_order(A))
+    # columns partitioned into contiguous supernodes
+    assert S.super_first[0] == 0 and S.super_first[-1] == n
+    assert np.all(np.diff(S.super_first) >= 1)
+    for s in range(S.nsuper):
+        f, l = S.super_first[s], S.super_first[s + 1]
+        rows = S.rows[s]
+        # first ncols rows are the supernode's own columns
+        assert np.array_equal(rows[:l - f], np.arange(f, l))
+        assert np.all(np.diff(rows) > 0)
+        # pattern containment: child's below-rows within parent's rows
+        p = S.sparent[s]
+        if p != -1:
+            below = rows[l - f:]
+            assert np.all(np.isin(below[below < S.super_first[p + 1]],
+                                  S.rows[p]))
+    # supernode pattern must contain the exact column pattern (equality
+    # without amalgamation; superset with)
+    C = A.symperm(S.perm)
+    F = simplicial.symbolic_cholesky(C)
+    for s in range(S.nsuper):
+        f = S.super_first[s]
+        assert len(S.rows[s]) >= F.colcount[f]
+
+
+@pytest.mark.parametrize("name,gen", spd_cases(), ids=[c[0] for c in spd_cases()])
+def test_host_multifrontal_vs_dense(name, gen):
+    A = gen()
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal.factorize_host(A, S)
+    assert F.ok
+    L = supernodal.to_csc(F).to_dense()
+    C = A.symperm(S.perm).to_dense()
+    scale = max(np.abs(C).max(), 1.0)
+    assert np.abs(L @ L.T - C).max() / scale < 1e-12
+
+
+@pytest.mark.parametrize("name,gen", spd_cases(), ids=[c[0] for c in spd_cases()])
+def test_device_matches_host(name, gen):
+    A = gen()
+    S = analyze_supernodal(A, amd_order(A))
+    Fh = supernodal.factorize_host(A, S)
+    Fd = supernodal_device.factorize_device(A, S, CFG64)
+    assert Fd.ok
+    scale = max(np.abs(Fh.Lx).max(), 1.0)
+    assert np.abs(Fh.Lx - Fd.Lx).max() / scale < 1e-13
+
+
+def test_supernodal_solve_end_to_end():
+    A = fixtures.laplacian_2d(24)
+    n = A.ncol
+    cfg = CFG64.replace(factor_kind=FactorKind.SUPERNODAL_LL)
+    S = sst.analyze(A, cfg)
+    F = sst.factorize(A, S, cfg)
+    assert F.ok
+    b = 1.0 + np.arange(n) / n
+    x = sst.solve(F, b)
+    assert residual_norm(A, x, b) < 1e-12
+
+
+def trapezoid_lnz(S):
+    """Stored entries excluding the (structurally zero) upper triangles of the
+    diagonal blocks — comparable to simplicial colcount sums."""
+    tot = 0
+    for s in range(S.nsuper):
+        nc = S.ncols(s)
+        tot += S.nrows(s) * nc - nc * (nc - 1) // 2
+    return tot
+
+
+def test_amalgamation_bounded_fill():
+    A = fixtures.laplacian_2d(30)
+    p = amd_order(A)
+    S = analyze_supernodal(A, p)
+    exact = simplicial.symbolic_cholesky(A, S.perm)
+    # relaxed amalgamation stores some explicit zeros but must stay bounded
+    assert trapezoid_lnz(S) >= exact.lnz
+    assert trapezoid_lnz(S) <= 2.0 * exact.lnz
+    # and reduce supernode count vs no-amalgamation fundamental supernodes
+    cfg0 = sst.DEFAULT.replace(nrelax=(0, 0, 0), zrelax=(0.0, 0.0, 0.0))
+    S0 = analyze_supernodal(A, p, cfg0)
+    assert trapezoid_lnz(S0) == exact.lnz  # no amalgamation = exact fill
+    assert S.nsuper <= S0.nsuper
+
+
+def test_not_positive_definite_supernodal():
+    rng = np.random.default_rng(0)
+    D = rng.standard_normal((40, 40))
+    D = (D + D.T) / 2  # indefinite
+    np.fill_diagonal(D, 0.1)
+    A = sst.from_dense(np.triu(D), sym=1)
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal.factorize_host(A, S)
+    assert not F.ok
+    assert 0 <= F.minor < 40
+
+
+def test_auto_dispatch_supernodal():
+    # high fl/lnz ratio → AUTO picks supernodal
+    A = fixtures.laplacian_3d(10)
+    cfg = CFG64
+    S = sst.analyze(A, cfg)
+    F = sst.factorize(A, S, cfg)  # AUTO
+    assert isinstance(F, supernodal.SupernodalFactorAdapter)
+    b = np.ones(A.ncol)
+    x = sst.solve(F, b)
+    assert residual_norm(A, x, b) < 1e-12
