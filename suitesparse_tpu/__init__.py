@@ -92,8 +92,16 @@ def factorize(A: CSC, S: SymbolicChol, config: Config = DEFAULT) -> Factor:
     raise ValueError(f"unsupported factor kind {kind}")
 
 
-def solve(F: Factor, b: np.ndarray) -> np.ndarray:
-    """x = A \\ b from a Cholesky factor (cholmod_solve CHOLMOD_A analog)."""
+def solve(F: Factor, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
+    """x = A \\ b from a Cholesky factor (cholmod_solve CHOLMOD_A analog).
+
+    Supernodal factors with enough flops route to the device level-scheduled
+    solve (cholmod_super_solve analog); everything else uses the host CSC
+    solvers."""
+    from .numeric.supernodal import SupernodalFactorAdapter
+    if isinstance(F, SupernodalFactorAdapter) and F.F.S.fl >= 5e6:
+        from .numeric.supernodal_solve import solve_device
+        return solve_device(F.F, b, config)
     return chol_solve(F, b)
 
 

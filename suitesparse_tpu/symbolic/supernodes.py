@@ -118,50 +118,48 @@ def analyze_supernodal(A: CSC, perm: np.ndarray | None = None,
         return sp, scol
 
     # ---- relaxed amalgamation (CHOLMOD rule, cholmod_core.h:495-510) ----
+    # Single right-to-left pass over fundamental supernodes. When processing
+    # fundamental supernode s, the block headed by s+1 (if s merges into it)
+    # has never been merged leftward yet, so s+1 always heads its block;
+    # per-block height/zeros/entries are tracked exactly.
     nrelax0, nrelax1, nrelax2 = config.nrelax
     zrelax0, zrelax1, zrelax2 = config.zrelax
-    # merge child s into parent s+1 repeatedly; track zeros introduced
-    merged = True
-    sf = list(super_first[:-1]) + [n]
-    zeros = {}  # first supernode col -> accumulated explicit zeros
-    while merged:
-        merged = False
-        sfa = np.array(sf, dtype=np.int64)
-        ns = len(sfa) - 1
-        sp, scol = build_sparent(sfa)
-        for s in range(ns - 2, -1, -1):
-            if sp[s] != s + 1:
-                continue
-            f_s, f_p = sfa[s], sfa[s + 1]
-            ncols_s = sfa[s + 1] - sfa[s]
-            ncols_p = sfa[s + 2] - sfa[s + 1]
-            nstot = ncols_s + ncols_p
-            # rows of merged panel at child's first col = ncols_s + cc[f_p]
-            # zeros added by padding child's columns to the merged height
-            z_add = 0
-            for i, j in enumerate(range(f_s, f_p)):
-                z_add += (nstot - (j - f_s) + cc[f_p] - 1) - cc[j]
-            z_tot = zeros.get(f_s, 0) + zeros.get(f_p, 0) + z_add
-            # total entries of merged panel
-            tot = 0
-            for i in range(nstot):
-                tot += (nstot - i) + cc[f_p] - 1 - (ncols_p - 1)
-            # simpler exact: per merged column height = (cols below in snode)
-            # + |below-diag rows of parent's first col pattern|
-            h_below = cc[f_p] - 1 - (ncols_p - 1)  # rows below merged cols
-            tot = sum((nstot - i) + h_below for i in range(nstot))
-            z = z_tot / max(tot, 1)
-            ok = (nstot <= nrelax0 or z_add == 0
-                  or (nstot <= nrelax1 and z < zrelax0)
-                  or (nstot <= nrelax2 and z < zrelax1)
-                  or (z < zrelax2))
-            if ok:
-                zeros[f_s] = z_tot
-                zeros.pop(f_p, None)
-                del sf[s + 1]
-                merged = True
-                break  # rebuild sparent after each merge (simple, O(k^2))
-    super_first = np.array(sf, dtype=np.int64)
+    ns_f = nsuper
+    sf = super_first
+    block_end = np.arange(1, ns_f + 1, dtype=np.int64)  # fund. index, exclusive
+    height = np.array([cc[sf[s]] for s in range(ns_f)], dtype=np.int64)
+    ncols_b = (sf[1:] - sf[:-1]).astype(np.int64)
+    zeros_b = np.zeros(ns_f, dtype=np.int64)
+    merged_into_next = np.zeros(ns_f, dtype=bool)
+    for s in range(ns_f - 2, -1, -1):
+        # does s's etree parent column live in the block headed by s+1?
+        parent_col = parent[sf[s + 1] - 1]
+        t = s + 1
+        if parent_col == -1 or not (sf[t] <= parent_col < sf[block_end[t]]):
+            continue
+        nc_s = int(ncols_b[s])
+        nc_t = int(ncols_b[t])
+        nstot = nc_s + nc_t
+        H = nc_s + int(height[t])
+        cols_s = np.arange(sf[s], sf[s + 1])
+        z_add = int(np.sum((H - np.arange(nc_s)) - cc[cols_s]))
+        z_tot = int(zeros_b[s] + zeros_b[t]) + z_add
+        tot = nstot * H - nstot * (nstot - 1) // 2
+        z = z_tot / max(tot, 1)
+        ok = (nstot <= nrelax0 or z_add == 0
+              or (nstot <= nrelax1 and z < zrelax0)
+              or (nstot <= nrelax2 and z < zrelax1)
+              or (z < zrelax2))
+        if ok:
+            merged_into_next[s] = True
+            block_end[s] = block_end[t]
+            height[s] = H
+            ncols_b[s] = nstot
+            zeros_b[s] = z_tot
+    # a block's head is its leftmost fundamental supernode: s heads a block
+    # iff its LEFT neighbor did not merge into it
+    heads = np.flatnonzero(np.concatenate([[True], ~merged_into_next[:-1]]))
+    super_first = np.concatenate([sf[heads], [n]]).astype(np.int64)
     nsuper = len(super_first) - 1
     sparent, snode_of_col = build_sparent(super_first)
 

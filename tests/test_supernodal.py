@@ -134,3 +134,24 @@ def test_auto_dispatch_supernodal():
     b = np.ones(A.ncol)
     x = sst.solve(F, b)
     assert residual_norm(A, x, b) < 1e-12
+
+
+def test_device_solve_matches_host():
+    from suitesparse_tpu.numeric import supernodal_solve
+    A = fixtures.laplacian_2d(20)
+    n = A.ncol
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal.factorize_host(A, S)
+    rng = np.random.default_rng(0)
+    B = rng.standard_normal((n, 3))
+    # host CSC path
+    ad = supernodal.SupernodalFactorAdapter(F)
+    Xh = simplicial.chol_solve(ad, B)
+    # device level-scheduled path
+    Xd = supernodal_solve.solve_device(F, B, CFG64)
+    assert np.allclose(Xh, Xd, atol=1e-12)
+    # 1-D RHS
+    xd = supernodal_solve.solve_device(F, B[:, 0], CFG64)
+    assert np.allclose(xd, Xh[:, 0], atol=1e-12)
+    for k in range(3):
+        assert residual_norm(A, Xd[:, k], B[:, k]) < 1e-12
