@@ -1,0 +1,151 @@
+"""Factor modification: rank-1 update/downdate and partial refactorization.
+
+Reference analogs:
+  * ``CHOLMOD/Modify/cholmod_updown.c`` / ``CSparse/Source/cs_updown.c`` —
+    rank-1 update/downdate of a Cholesky factor (Carlson/Hager method) along
+    the etree path of the update vector's pattern.
+  * the fork's ``CSparse/Source/is_left_cholupdate.c`` + ``is_pre_update`` —
+    PARTIAL re-factorization: after changing entries of A, recompute only the
+    columns whose values can change (etree reach of the changed columns),
+    reusing everything else. This is the fork's headline experiment (SURVEY
+    §2.9) and the analyze-once/refactor-many workhorse for FEM updates.
+
+Host implementations over the CSC factor layout (diagonal first per column,
+rows sorted ascending — what chol_up produces).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..sparse import CSC
+from .simplicial import Factor, SymbolicChol
+
+__all__ = ["updown", "affected_columns", "refactor_partial", "refactor_full"]
+
+
+def updown(F: Factor, sigma: float, w: np.ndarray) -> bool:
+    """In-place rank-1 update (sigma=+1) / downdate (sigma=-1): L L' ± w w'.
+
+    ``w`` is a dense vector in the PERMUTED ordering (w.r.t. F.perm) whose
+    nonzero pattern must be contained in the pattern of L's column at w's
+    first nonzero (the cs_updown contract). Returns False (factor left
+    partially modified) if a downdate destroys positive-definiteness."""
+    assert F.d is None, "updown operates on LL' factors"
+    L = F.L
+    n = L.ncol
+    w = np.asarray(w, dtype=np.float64).copy()
+    nz = np.flatnonzero(w)
+    if nz.size == 0:
+        return True
+    j = int(nz[0])
+    beta = 1.0
+    Lp, Li, Lx = L.indptr, L.indices, L.data
+    while j != -1 and j < n:
+        p0, p1 = Lp[j], Lp[j + 1]
+        djj = Lx[p0]
+        alpha = w[j] / djj
+        beta2 = beta * beta + sigma * alpha * alpha
+        if beta2 <= 0.0:
+            return False  # not positive definite
+        beta2 = np.sqrt(beta2)
+        gamma = sigma * alpha / (beta2 * beta)
+        if sigma > 0:
+            delta = beta / beta2
+            Lx[p0] = delta * djj + gamma * w[j]
+        else:
+            delta = beta2 / beta
+            Lx[p0] = delta * djj
+        # update below-diagonal entries of column j and push w along the path;
+        # the update form uses the OLD w values, the downdate form the NEW ones
+        rows = Li[p0 + 1:p1]
+        vals = Lx[p0 + 1:p1].copy()
+        w_old = w[rows].copy()
+        w[rows] = w_old - alpha * vals
+        Lx[p0 + 1:p1] = delta * vals + gamma * (w_old if sigma > 0
+                                                else w[rows])
+        beta = beta2
+        # next column on the path = row of the first below-diagonal entry,
+        # i.e. the etree parent within the factor's pattern
+        j = int(rows[0]) if rows.size else -1
+    return True
+
+
+def affected_columns(S_parent: np.ndarray, changed_cols) -> np.ndarray:
+    """Columns whose factor values can change when A's entries in
+    ``changed_cols`` change: the union of etree paths to the root
+    (is_pre_update analog)."""
+    n = S_parent.size
+    seen = np.zeros(n, dtype=bool)
+    for c in np.atleast_1d(np.asarray(changed_cols, dtype=np.int64)):
+        j = int(c)
+        while j != -1 and not seen[j]:
+            seen[j] = True
+            j = int(S_parent[j])
+    return np.flatnonzero(seen)
+
+
+def refactor_partial(A: CSC, S: SymbolicChol, F: Factor,
+                     changed_cols) -> Factor:
+    """Left-looking recomputation of only the affected columns (in place).
+
+    ``A`` is the NEW matrix (same pattern, upper-stored); entries may have
+    changed only in ``changed_cols`` (and symmetrically their rows). The
+    factor keeps its pattern; values of unaffected columns are reused — the
+    fork's ``is_left_cholupdate`` design, driven by precomputed CSR row lists
+    of L."""
+    assert F.d is None, "partial refactor operates on LL' factors"
+    n = S.n
+    affected = affected_columns(S.parent, changed_cols)
+    aff_mask = np.zeros(n, dtype=bool)
+    aff_mask[affected] = True
+    C = A.symperm(S.perm)
+    C_low = C.transpose()
+    L = F.L
+    Lp, Li, Lx = L.indptr, L.indices, L.data
+    # CSR row lists of the STRICT lower triangle of L (iss-style row pattern)
+    LT = L.transpose()
+    x = np.zeros(n)
+    minor = n
+    for j in affected:
+        lo, hi = C_low.indptr[j], C_low.indptr[j + 1]
+        x[C_low.indices[lo:hi]] = C_low.data[lo:hi]
+        # cmod(j, i) for every i < j with L[j,i] != 0 (row list of j)
+        rlo, rhi = LT.indptr[j], LT.indptr[j + 1]
+        for t in range(rlo, rhi):
+            i = LT.indices[t]
+            if i >= j:
+                continue
+            # always read the LIVE value: affected columns i < j were already
+            # recomputed this sweep (ascending order); LT values are a stale
+            # snapshot used only for the row PATTERN
+            lji = _entry(L, j, i)
+            p0, p1 = Lp[i], Lp[i + 1]
+            rows = Li[p0:p1]
+            sel = rows >= j
+            x[rows[sel]] -= Lx[p0:p1][sel] * lji
+        d = x[j]
+        if d <= 0.0 or not np.isfinite(d):
+            minor = int(j)
+            break
+        p0, p1 = Lp[j], Lp[j + 1]
+        Lx[p0] = np.sqrt(d)
+        rows = Li[p0 + 1:p1]
+        Lx[p0 + 1:p1] = x[rows] / Lx[p0]
+        x[Li[p0:p1]] = 0.0
+        x[j] = 0.0
+    return Factor(L=L, perm=F.perm, d=None, minor=minor)
+
+
+def _entry(L: CSC, i: int, j: int) -> float:
+    """L[i, j] from sorted CSC column j (binary search)."""
+    p0, p1 = L.indptr[j], L.indptr[j + 1]
+    k = np.searchsorted(L.indices[p0:p1], i)
+    if k < p1 - p0 and L.indices[p0 + k] == i:
+        return float(L.data[p0 + k])
+    return 0.0
+
+
+def refactor_full(A: CSC, S: SymbolicChol, F: Factor) -> Factor:
+    """Full numeric refactorization with the existing pattern (all columns)."""
+    return refactor_partial(A, S, F, np.arange(S.n, dtype=np.int64))
