@@ -121,6 +121,7 @@ def _declare(dll) -> None:
         _i64, _i64, _f64, _i64, _i64, _f64, _i64,
     ])
     maybe("sstpu_colamd", c, [c, c, _i64, _i64, _i64, d, d])
+    maybe("sstpu_nested_dissection", c, [c, _i64, _i64, _i64, c, c])
 
 
 def available() -> bool:
@@ -160,6 +161,20 @@ def colamd(nrow: int, ncol: int, indptr: np.ndarray, indices: np.ndarray,
                           _ptr_i64(perm), ctypes.c_double(dense_row),
                           ctypes.c_double(dense_col))
     assert rc == 0, f"native colamd failed rc={rc}"
+    return perm
+
+
+def nested_dissection(indptr: np.ndarray, indices: np.ndarray, n: int,
+                      nd_small: int = 200, seed: int = 1) -> np.ndarray:
+    """Multilevel ND over the off-diagonal pattern of A+A' in CSC."""
+    dll = _load()
+    assert dll is not None and hasattr(dll, "sstpu_nested_dissection")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    perm = np.empty(n, dtype=np.int64)
+    rc = dll.sstpu_nested_dissection(n, _ptr_i64(indptr), _ptr_i64(indices),
+                                     _ptr_i64(perm), nd_small, seed)
+    assert rc == 0, f"native nested dissection failed rc={rc}"
     return perm
 
 

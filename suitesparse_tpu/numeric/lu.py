@@ -411,8 +411,29 @@ def solve_lu(N: LUNumeric, b: np.ndarray) -> np.ndarray:
     return x
 
 
+def solve_lu_refined(N: LUNumeric, A: CSC, b: np.ndarray,
+                     ir_steps: int = 2) -> np.ndarray:
+    """Solve with iterative refinement (UMFPACK ``Control[UMFPACK_IRSTEP]``
+    analog, ``umfpack_solve.c:102``): x ← x + A \\ (b - A x), up to
+    ``ir_steps`` sweeps, stopping early when the residual stops improving."""
+    x = solve_lu(N, b)
+    if ir_steps <= 0:
+        return x
+    b = np.asarray(b, dtype=np.float64)
+    prev = np.inf
+    for _ in range(ir_steps):
+        r = b - A.matvec(x)
+        nrm = np.abs(r).max(initial=0.0)
+        if nrm == 0.0 or nrm >= prev:
+            break
+        prev = nrm
+        x = x + solve_lu(N, r)
+    return x
+
+
 def lusol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
-    """One-call general square solve (cs_lusol / klu driver analog)."""
+    """One-call general square solve (cs_lusol / klu driver analog), with
+    UMFPACK-style iterative refinement per ``config.ir_steps``."""
     S = analyze_lu(A, config)
     N = factor_lu(A, S, config)
-    return solve_lu(N, b)
+    return solve_lu_refined(N, A, b, config.ir_steps)

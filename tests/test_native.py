@@ -109,3 +109,29 @@ def test_amd_empty_and_diagonal():
     S_pat = A.aat_pattern()
     p = native.amd(S_pat.indptr, S_pat.indices, 5)
     assert np.array_equal(np.sort(p), np.arange(5))
+
+
+def test_nested_dissection_valid_and_quality():
+    if not native.has("sstpu_nested_dissection"):
+        pytest.skip("nd not built")
+    A = fixtures.laplacian_2d(32)
+    n = A.ncol
+    S_pat = A.aat_pattern()
+    p = native.nested_dissection(S_pat.indptr, S_pat.indices, n)
+    assert np.array_equal(np.sort(p), np.arange(n))
+    S_nd = simplicial.symbolic_cholesky(A, p)
+    S_nat = simplicial.symbolic_cholesky(A)
+    # ND must clearly beat natural on a mesh
+    assert S_nd.lnz < 0.6 * S_nat.lnz
+
+
+def test_nested_dissection_ordering_api():
+    from suitesparse_tpu.ordering import nested_dissection_order
+    from suitesparse_tpu.config import Ordering
+    import suitesparse_tpu as sst
+    A = fixtures.laplacian_3d(8)
+    p = nested_dissection_order(A)
+    assert np.array_equal(np.sort(p), np.arange(A.ncol))
+    # through the analyze API
+    S = sst.analyze(A, sst.DEFAULT.replace(ordering=Ordering.METIS))
+    assert S.lnz > 0
