@@ -47,8 +47,12 @@ class SupernodalFactor:
     ``Lx`` (reference ``L->px`` layout, ``cholmod_core.h:1659-1668``)."""
 
     S: SupernodalSymbolic
-    Lx: np.ndarray
-    minor: int  # = n if success
+    Lx: np.ndarray  # flat panels; a DEVICE array (padded layout) on the
+                    # device path, a host px-layout array on the host path
+    minor: int      # = n if success
+    layout: str = "px"  # "px" (CHOLMOD px host layout) | "device" (padded
+                        # per-group buffers, see supernodal_device)
+    _lx_px: np.ndarray | None = None
 
     @property
     def ok(self) -> bool:
@@ -58,10 +62,24 @@ class SupernodalFactor:
     def perm(self) -> np.ndarray:
         return self.S.perm
 
+    def lx_host(self) -> np.ndarray:
+        """Materialized host copy in the CHOLMOD px layout (cached)."""
+        if self.layout == "px":
+            if not isinstance(self.Lx, np.ndarray):
+                self.Lx = np.asarray(self.Lx, dtype=np.float64)
+            return self.Lx
+        if self._lx_px is None:
+            plan = self.S._device_plan
+            Lh = np.asarray(self.Lx, dtype=np.float64)
+            px = np.zeros(plan.lnz)
+            px[plan.px_dst] = Lh[plan.px_src]
+            self._lx_px = px
+        return self._lx_px
+
     def panel(self, s: int) -> np.ndarray:
         S = self.S
         nr, nc = S.nrows(s), S.ncols(s)
-        return self.Lx[S.Lpx[s]:S.Lpx[s + 1]].reshape(nr, nc, order="F")
+        return self.lx_host()[S.Lpx[s]:S.Lpx[s + 1]].reshape(nr, nc, order="F")
 
 
 def to_csc(F: SupernodalFactor) -> CSC:

@@ -2,32 +2,25 @@
 
 Consumes the static plan from :mod:`suitesparse_tpu.symbolic.supernodes` and
 runs the numeric phase as a sequence of BATCHED dense ops per elimination-tree
-level and shape bucket:
+level and shape bucket (potrf/trsm/syrk of ``t_cholmod_super_numeric.c`` per
+front, assembled multifrontally).
 
-  level d, bucket (R, C):  [B fronts] →
-      scatter-assemble A entries            (precomputed index plan)
-      extend-add child update matrices      (gathers from earlier levels'
-                                             update buffers)
-      batched cholesky (C×C diag blocks)    → MXU
-      batched triangular solve (R-C × C)    → MXU
-      batched syrk for the update matrices  → MXU
+GATHER-FIRST dataflow (v3 — driven by on-chip ablation): TPU scatters are
+~element-serialized (~10× slower than gathers), and the naive formulation
+spent >90% of runtime in two scatters. Here:
 
-All irregularity lives in host-precomputed index arrays; the device program is
-static and fully batched (SURVEY §7: "supernodal panels padded / bucketed to
-MXU-friendly shapes; scatter/gather assembly as index maps").
+  * assembly and the FIRST extend-add contributor of every front cell are
+    dense GATHERS through sentinel-padded index maps (contributor
+    multiplicity is ~1.03 on ND-ordered meshes, so one map covers ~97%),
+  * only the rare rank≥2 contributors use scatter-add (a few % of elements),
+  * there is NO final stitch scatter: the factor's device representation IS
+    the concatenation of the padded per-group panel buffers; the
+    level-scheduled solves consume it natively, and a host-side index map
+    materializes the CHOLMOD ``px`` layout on demand.
 
-Dataflow design (deliberately different from the reference's left-looking
-``t_cholmod_super_numeric.c``): child update matrices stay in their PADDED
-per-level buffers and parents GATHER from them (one gather + small scatter-add
-per group); L panels are stitched together with ONE scatter at the end. No
-global buffer is read-modify-written per stage — the naive per-stage
-``heap.at[..].set`` formulation costs a full HBM copy of the heap per stage
-and dominated runtime.
-
-Normalized front layout (one bucket serves many sizes): within a bucket with
-col pad C, a front with nc ≤ C actual columns stores its diagonal block at
-rows [0, nc) and its below-diagonal rows starting at row C. Rows [nc, C) are
-zero padding whose diagonal is forced to 1 before the batched cholesky.
+The update heap grows by one concatenation per level (bandwidth-cheap) with
+heap[0] permanently zero as the gather sentinel; Cdata is likewise
+sentinel-padded at index 0.
 """
 
 from __future__ import annotations
@@ -65,20 +58,27 @@ class GroupPlan:
     C: int
     B: int
     snodes: np.ndarray
-    asm_src: np.ndarray    # panelflat[asm_dst] += Cdata[asm_src]
-    asm_dst: np.ndarray
-    # extend-add, per child level: panelflat[dst] += level_buf[lev][src]
-    ext_panel: list        # [(lev, src, dst), ...]
-    ext_upd: list          # [(lev, src, dst), ...] into the f22 buffer
-    store_src: np.ndarray  # Lx[store_dst] = panelflat[store_src] (final stitch)
-    store_dst: np.ndarray
+    amap: np.ndarray       # [B*R*C] gather map into Cdata_pad (0 = sentinel)
+    pmap: np.ndarray       # [B*R*C] gather map into heap (first contributor)
+    umap: np.ndarray       # [B*RU*RU] gather map into heap (first contributor)
+    pleft_src: np.ndarray  # rank>=2 contributors: panel.at[dst].add(heap[src])
+    pleft_dst: np.ndarray
+    uleft_src: np.ndarray
+    uleft_dst: np.ndarray
     nc: np.ndarray         # per-slot actual column counts
+    panel_base: int        # offset of this group's pflat in the device factor
+    heap_base: int         # offset of this group's uflat in the heap (+1 shift)
 
 
 @dataclasses.dataclass
 class Plan:
     groups: list           # groups[level] = [GroupPlan, ...]
-    lnz: int
+    lnz: int               # CHOLMOD px-layout size (host materialization)
+    dev_size: int          # total device factor size (sum of B*R*C)
+    heap_size: int         # total heap size incl. sentinel slot
+    # host-side materialization map: Lx_px[px_dst] = Lx_dev[px_src]
+    px_src: np.ndarray
+    px_dst: np.ndarray
 
 
 def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
@@ -88,11 +88,13 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
         if S.sparent[s] != -1:
             children[S.sparent[s]].append(s)
 
-    # first pass: bucketize every level, record each supernode's placement in
-    # its level's (padded) update-buffer space
-    level_layouts = []   # per level: list of (R, C, ss)
-    place = {}           # snode -> (level, ubase, RU) in that level's buffer
-    for d, level_nodes in enumerate(S.levels):
+    # bucketize every level; assign global panel/heap offsets
+    level_layouts = []
+    place = {}             # snode -> (heap slot base [incl +1 shift], RU)
+    panel_place = {}       # snode -> (panel_base + b*R*C, R, C)
+    panel_off = 0
+    heap_off = 1           # heap[0] is the gather sentinel (always 0.0)
+    for level_nodes in S.levels:
         buckets: dict = {}
         for s in level_nodes:
             nr, nc = S.nrows(s), S.ncols(s)
@@ -100,31 +102,49 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
                    _pad_to(nc, _C_LADDER))
             buckets.setdefault(key, []).append(int(s))
         glist = sorted(buckets.items())
-        level_layouts.append(glist)
-        ubase = 0
+        placed = []
         for (R, C), ss in glist:
             RU = R - C
             for b, s in enumerate(ss):
-                place[s] = (d, ubase + b * RU * RU, RU)
-            ubase += len(ss) * RU * RU
+                place[s] = (heap_off + b * RU * RU, RU)
+                panel_place[s] = (panel_off + b * R * C, R, C)
+            placed.append((R, C, ss, panel_off, heap_off))
+            panel_off += len(ss) * R * C
+            heap_off += len(ss) * RU * RU
+        level_layouts.append(placed)
 
     groups_all = []
-    for d, glist in enumerate(level_layouts):
+    px_src_parts, px_dst_parts = [], []
+    for placed in level_layouts:
         gplans = []
-        for (R, C), ss in glist:
-            gplans.append(_build_group(S, C_low, ss, R, C, place, children))
+        for (R, C, ss, pbase, hbase) in placed:
+            g = _build_group(S, C_low, ss, R, C, place, children, pbase, hbase)
+            gplans.append(g)
+            # px materialization map
+            for b, s in enumerate(ss):
+                nr, nc = S.nrows(s), S.ncols(s)
+                kk = np.repeat(np.arange(nc, dtype=np.int64),
+                               nr - np.arange(nc))
+                rp = _ranges(np.arange(nc, dtype=np.int64),
+                             np.full(nc, nr, np.int64))
+                rloc = np.where(rp < nc, rp, C + (rp - nc))
+                px_src_parts.append(pbase + b * R * C + rloc * C + kk)
+                px_dst_parts.append(S.Lpx[s] + kk * nr + rp)
         groups_all.append(gplans)
-    return Plan(groups=groups_all, lnz=S.lnz)
+    cat = (lambda p: np.concatenate(p).astype(np.int64) if p
+           else np.empty(0, np.int64))
+    return Plan(groups=groups_all, lnz=S.lnz, dev_size=panel_off,
+                heap_size=heap_off, px_src=cat(px_src_parts),
+                px_dst=cat(px_dst_parts))
 
 
 def _build_group(S: SupernodalSymbolic, C_low: CSC, ss, R, C, place,
-                 children) -> GroupPlan:
+                 children, panel_base, heap_base) -> GroupPlan:
     B = len(ss)
     RU = R - C
-    asm_src, asm_dst = [], []
-    ext_panel: dict = {}   # child level -> ([src...], [dst...])
-    ext_upd: dict = {}
-    store_src, store_dst = [], []
+    amap = np.zeros(B * R * C, dtype=np.int64)        # 0 = sentinel
+    ext_p_pairs_src, ext_p_pairs_dst = [], []
+    ext_u_pairs_src, ext_u_pairs_dst = [], []
     nc_arr = np.zeros(B, dtype=np.int32)
 
     for b, s in enumerate(ss):
@@ -136,59 +156,60 @@ def _build_group(S: SupernodalSymbolic, C_low: CSC, ss, R, C, place,
         base = b * R * C
 
         def lrow(pos):
-            # normalized layout: below-diag rows shifted to start at C
             return np.where(pos < nc, pos, C + (pos - nc))
 
-        # assembly: all lower-triangle entries of columns f..l-1
+        # assembly: unique per cell -> direct dense map (+1 for the sentinel)
         lo, hi = int(C_low.indptr[f]), int(C_low.indptr[l])
-        src = np.arange(lo, hi, dtype=np.int64)
         ents_per_col = np.diff(C_low.indptr[f:l + 1])
         colk = np.repeat(np.arange(nc, dtype=np.int64), ents_per_col)
         pos = np.searchsorted(rows, C_low.indices[lo:hi])
-        asm_src.append(src)
-        asm_dst.append(base + lrow(pos) * C + colk)
+        amap[base + lrow(pos) * C + colk] = np.arange(lo, hi, dtype=np.int64) + 1
 
-        # extend-add from children (gather from their padded level buffers)
+        # extend-add pairs from children (global heap offsets)
         for ch in children[s]:
             mu = S.nrows(ch) - S.ncols(ch)
             if mu == 0:
                 continue
-            lev, ubase_c, RU_c = place[ch]
+            ho, RU_c = place[ch]
             rows_c = S.rows[ch][S.ncols(ch):]
             idx = np.searchsorted(rows, rows_c)
             ri = np.broadcast_to(idx[:, None], (mu, mu))
             cj = np.broadcast_to(idx[None, :], (mu, mu))
-            srcm = ubase_c + np.arange(mu)[:, None] * RU_c + np.arange(mu)
-            mp = (cj < nc) & (ri >= cj)        # lower triangle of the panel
-            mum = (cj >= nc) & (ri >= nc)      # trailing update block
+            srcm = ho + np.arange(mu)[:, None] * RU_c + np.arange(mu)
+            mp = (cj < nc) & (ri >= cj)
+            mum = (cj >= nc) & (ri >= nc)
             if mp.any():
-                sp, dp = ext_panel.setdefault(lev, ([], []))
-                sp.append(srcm[mp])
-                dp.append(base + lrow(ri[mp]) * C + cj[mp])
+                ext_p_pairs_src.append(srcm[mp])
+                ext_p_pairs_dst.append(base + lrow(ri[mp]) * C + cj[mp])
             if mum.any():
-                su, du = ext_upd.setdefault(lev, ([], []))
-                su.append(srcm[mum])
-                du.append(b * RU * RU + (ri[mum] - nc) * RU + (cj[mum] - nc))
+                ext_u_pairs_src.append(srcm[mum])
+                ext_u_pairs_dst.append(b * RU * RU + (ri[mum] - nc) * RU
+                                       + (cj[mum] - nc))
 
-        # panel store (column-major flat L, CHOLMOD px layout): lower trapezoid
-        Lbase = int(S.Lpx[s])
-        kk = np.repeat(np.arange(nc, dtype=np.int64), nr - np.arange(nc))
-        rp = _ranges(np.arange(nc, dtype=np.int64), np.full(nc, nr, np.int64))
-        store_src.append(base + lrow(rp) * C + kk)
-        store_dst.append(Lbase + kk * nr + rp)
+    def rank_split(srcs, dsts, ncells):
+        """First contributor per cell -> dense map; rest -> scatter pairs."""
+        dense = np.zeros(ncells, dtype=np.int64)
+        if not srcs:
+            return dense, np.empty(0, np.int64), np.empty(0, np.int64)
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        order = np.argsort(dst, kind="stable")
+        src, dst = src[order], dst[order]
+        first = np.ones(dst.size, dtype=bool)
+        first[1:] = dst[1:] != dst[:-1]
+        dense[dst[first]] = src[first]
+        rest = ~first
+        return dense, src[rest], dst[rest]
 
-    def cat(parts):
-        return (np.concatenate(parts).astype(np.int64) if parts
-                else np.empty(0, dtype=np.int64))
-
-    return GroupPlan(
-        R=R, C=C, B=B, snodes=np.asarray(ss, dtype=np.int64),
-        asm_src=cat(asm_src), asm_dst=cat(asm_dst),
-        ext_panel=[(lev, cat(sp), cat(dp))
-                   for lev, (sp, dp) in sorted(ext_panel.items())],
-        ext_upd=[(lev, cat(su), cat(du))
-                 for lev, (su, du) in sorted(ext_upd.items())],
-        store_src=cat(store_src), store_dst=cat(store_dst), nc=nc_arr)
+    pmap, pleft_src, pleft_dst = rank_split(ext_p_pairs_src, ext_p_pairs_dst,
+                                            B * R * C)
+    umap, uleft_src, uleft_dst = rank_split(ext_u_pairs_src, ext_u_pairs_dst,
+                                            B * max(RU, 1) * max(RU, 1))
+    return GroupPlan(R=R, C=C, B=B, snodes=np.asarray(ss, dtype=np.int64),
+                     amap=amap, pmap=pmap, umap=umap,
+                     pleft_src=pleft_src, pleft_dst=pleft_dst,
+                     uleft_src=uleft_src, uleft_dst=uleft_dst,
+                     nc=nc_arr, panel_base=panel_base, heap_base=heap_base)
 
 
 def _ranges(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
@@ -206,23 +227,44 @@ def _ranges(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
-def _group_compute(g: GroupPlan, ix, Cdata, level_bufs, dtype, cstr=None):
+_IDX_FIELDS = ["amap", "pmap", "umap", "pleft_src", "pleft_dst", "uleft_src",
+               "uleft_dst", "nc"]
+
+
+def plan_arrays(plan: Plan):
+    """Flatten index arrays (deterministic order) for passing as jit args."""
+    flat = []
+    for glist in plan.groups:
+        for g in glist:
+            for f in _IDX_FIELDS:
+                flat.append(np.asarray(getattr(g, f)))
+    return flat
+
+
+def _unpack_idx(plan: Plan, flat):
+    it = iter(flat)
+    return [[{f: next(it) for f in _IDX_FIELDS} for _ in glist]
+            for glist in plan.groups]
+
+
+def _group_compute(g: GroupPlan, ix, Cdata_pad, heap, dtype, cstr=None):
     """Assemble + factor one group; returns (panel_flat, update_flat)."""
     import jax
     import jax.numpy as jnp
 
     B, R, C = g.B, g.R, g.C
     RU = R - C
-    panel = jnp.zeros(B * R * C, dtype=dtype)
-    panel = panel.at[ix["asm_dst"]].add(Cdata[ix["asm_src"]],
-                                        unique_indices=True)
-    for lev, src, dst in zip(ix["extp_lev"], ix["extp_src"], ix["extp_dst"]):
-        panel = panel.at[dst].add(level_bufs[lev][src])
-    f22 = jnp.zeros(B * max(RU, 1) * max(RU, 1), dtype=dtype)
-    for lev, src, dst in zip(ix["extu_lev"], ix["extu_src"], ix["extu_dst"]):
-        f22 = f22.at[dst].add(level_bufs[lev][src])
+    panel = Cdata_pad[ix["amap"]] + heap[ix["pmap"]]
+    if g.pleft_src.size:
+        panel = panel.at[ix["pleft_dst"]].add(heap[ix["pleft_src"]])
+    if RU > 0:
+        f22 = heap[ix["umap"]]
+        if g.uleft_src.size:
+            f22 = f22.at[ix["uleft_dst"]].add(heap[ix["uleft_src"]])
+        f22 = f22.reshape(B, RU, RU)
+    else:
+        f22 = jnp.zeros((B, 1, 1), dtype=dtype)
     panel = panel.reshape(B, R, C)
-    f22 = f22.reshape(B, max(RU, 1), max(RU, 1))
     if cstr is not None:
         panel, f22 = cstr(g, panel, f22)
 
@@ -244,80 +286,31 @@ def _group_compute(g: GroupPlan, ix, Cdata, level_bufs, dtype, cstr=None):
         U = f22 - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2),
                              preferred_element_type=dtype)
         panel_out = jnp.concatenate([L11, L21], axis=1)
+        uflat = U.reshape(-1)
     else:
-        # no below-diagonal rows: no update matrix; contribute NOTHING to the
-        # level buffer so the host-side offset accounting (RU*RU = 0) matches
-        U = jnp.zeros(0, dtype=dtype)
+        uflat = jnp.zeros(0, dtype=dtype)
         panel_out = L11
-    return panel_out.reshape(-1), U.reshape(-1)
-
-
-_IDX_SIMPLE = ["asm_src", "asm_dst", "store_src", "store_dst", "nc"]
-
-
-def plan_arrays(plan: Plan):
-    """Flatten index arrays (deterministic order) to pass as jit arguments."""
-    flat = []
-    for glist in plan.groups:
-        for g in glist:
-            for f in _IDX_SIMPLE:
-                flat.append(np.asarray(getattr(g, f)))
-            for _, src, dst in g.ext_panel:
-                flat.append(src)
-                flat.append(dst)
-            for _, src, dst in g.ext_upd:
-                flat.append(src)
-                flat.append(dst)
-    return flat
-
-
-def _unpack_idx(plan: Plan, flat):
-    it = iter(flat)
-    out = []
-    for glist in plan.groups:
-        level = []
-        for g in glist:
-            ix = {f: next(it) for f in _IDX_SIMPLE}
-            ix["extp_lev"] = [lev for lev, _, _ in g.ext_panel]
-            ix["extp_src"] = []
-            ix["extp_dst"] = []
-            for _ in g.ext_panel:
-                ix["extp_src"].append(next(it))
-                ix["extp_dst"].append(next(it))
-            ix["extu_lev"] = [lev for lev, _, _ in g.ext_upd]
-            ix["extu_src"] = []
-            ix["extu_dst"] = []
-            for _ in g.ext_upd:
-                ix["extu_src"].append(next(it))
-                ix["extu_dst"].append(next(it))
-            level.append(ix)
-        out.append(level)
-    return out
+    return panel_out.reshape(-1), uflat
 
 
 def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None):
-    """The jitted numeric phase: level buffers + one final L stitch."""
+    """The jitted numeric phase: returns the PADDED device factor buffer."""
     import jax.numpy as jnp
 
-    Cdata = Cdata.astype(dtype)
+    Cdata_pad = jnp.concatenate([jnp.zeros(1, dtype=dtype),
+                                 Cdata.astype(dtype)])
     idx = _unpack_idx(plan, flat_idx)
-    level_bufs = []
-    store_vals = []
-    store_dsts = []
+    heap = jnp.zeros(1, dtype=dtype)  # slot 0 = gather sentinel
+    panels = []
     for d, glist in enumerate(plan.groups):
-        bufs = []
+        level_updates = []
         for g, ix in zip(glist, idx[d]):
-            pflat, uflat = _group_compute(g, ix, Cdata, level_bufs, dtype,
-                                          cstr)
-            bufs.append(uflat)
-            store_vals.append(pflat[ix["store_src"]])
-            store_dsts.append(ix["store_dst"])
-        level_bufs.append(jnp.concatenate(bufs) if bufs
-                          else jnp.zeros(0, dtype=dtype))
-    Lx = jnp.zeros(plan.lnz, dtype=dtype)
-    Lx = Lx.at[jnp.concatenate(store_dsts)].set(
-        jnp.concatenate(store_vals), unique_indices=True)
-    return Lx
+            pflat, uflat = _group_compute(g, ix, Cdata_pad, heap, dtype, cstr)
+            panels.append(pflat)
+            level_updates.append(uflat)
+        if level_updates:
+            heap = jnp.concatenate([heap] + level_updates)
+    return jnp.concatenate(panels) if panels else jnp.zeros(0, dtype=dtype)
 
 
 def factorize_device(A: CSC, S: SupernodalSymbolic,
@@ -346,16 +339,19 @@ def factorize_device(A: CSC, S: SupernodalSymbolic,
         S._device_fn = fn
         S._device_dtype = dtype
     if S._device_idx is None:
-        Lx = np.asarray(fn(jnp.asarray(C_low.data)), dtype=np.float64)
+        Lxdev = fn(jnp.asarray(C_low.data))
     else:
-        Lx = np.asarray(fn(jnp.asarray(C_low.data), S._device_idx),
-                        dtype=np.float64)
+        Lxdev = fn(jnp.asarray(C_low.data), S._device_idx)
 
+    # factor stays ON DEVICE in the padded group layout; success check is a
+    # scalar reduction (also the synchronization point)
     minor = S.n
-    if not np.all(np.isfinite(Lx)):
-        # locate the first failing supernode for the reference minor contract
+    if not bool(jnp.isfinite(Lxdev).all()):
+        Lh = np.asarray(Lxdev, dtype=np.float64)
+        Lpx_h = np.zeros(plan.lnz)
+        Lpx_h[plan.px_dst] = Lh[plan.px_src]
         for s in range(S.nsuper):
-            if not np.all(np.isfinite(Lx[S.Lpx[s]:S.Lpx[s + 1]])):
+            if not np.all(np.isfinite(Lpx_h[S.Lpx[s]:S.Lpx[s + 1]])):
                 minor = int(S.super_first[s])
                 break
-    return SupernodalFactor(S=S, Lx=Lx, minor=minor)
+    return SupernodalFactor(S=S, Lx=Lxdev, minor=minor, layout="device")

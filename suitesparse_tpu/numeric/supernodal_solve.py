@@ -4,9 +4,13 @@ Reference analog: ``CHOLMOD/Supernodal/cholmod_super_solve.c`` /
 ``t_cholmod_super_solve.c:89-173`` (per-supernode dtrsv/dtrsm + dgemv/dgemm) —
 re-designed for TPU as level-batched dense ops: all supernodes of one
 elimination-tree level solve simultaneously (batched triangular_solve on the
-diagonal blocks + batched matmul for the below-diagonal updates, with
-gather/scatter index plans precomputed on host). Multi-RHS is a free static
-dimension.
+diagonal blocks + batched matmul for the below-diagonal updates). Multi-RHS is
+a free static dimension.
+
+Two factor layouts are consumed:
+  * "device": the padded per-group buffers produced by
+    :mod:`.supernodal_device` — panels are CONTIGUOUS slices (no gather),
+  * "px": the host CHOLMOD-px layout — panels gathered via an index map.
 
 Forward  (L y = b):  per level (leaves→root), per bucket:
     y[cols_s] = L11^{-1} y[cols_s];  y[rows_s] -= L21 @ y[cols_s]
@@ -32,9 +36,10 @@ class SolveGroup:
     R: int
     C: int
     B: int
-    panel_src: np.ndarray   # gather Lx -> [B,R,C] normalized layout (pad -> lnz)
+    panel_base: int         # device layout: Lx[panel_base : +B*R*C]
+    panel_src: np.ndarray   # px layout: gather map (pad -> lnz), else empty
     col_idx: np.ndarray     # [B*C] global column ids (pad -> n)
-    below_idx: np.ndarray   # [B*RU] global row ids of below rows (pad -> n)
+    below_idx: np.ndarray   # [B*RU] global below-row ids (pad -> n)
     nc: np.ndarray
 
 
@@ -42,48 +47,63 @@ class SolveGroup:
 class SolvePlan:
     groups: list            # groups[level] = [SolveGroup, ...]
     n: int
-    lnz: int
+    lx_size: int
+    layout: str
 
 
-def build_solve_plan(S: SupernodalSymbolic) -> SolvePlan:
-    from .supernodal_device import _pad_to, _R_LADDER, _C_LADDER, _ranges
+def build_solve_plan(S: SupernodalSymbolic, layout: str) -> SolvePlan:
+    from .supernodal_device import (_pad_to, _R_LADDER, _C_LADDER, _ranges,
+                                    build_plan)
+
+    if layout == "device":
+        plan = S._device_plan
+        level_groups = [[(g.R, g.C, list(g.snodes), g.panel_base)
+                         for g in glist] for glist in plan.groups]
+        lx_size = plan.dev_size
+    else:
+        level_groups = []
+        for level_nodes in S.levels:
+            buckets: dict = {}
+            for s in level_nodes:
+                nr, nc = S.nrows(s), S.ncols(s)
+                key = (_pad_to(nr - nc, _R_LADDER) + _pad_to(nc, _C_LADDER),
+                       _pad_to(nc, _C_LADDER))
+                buckets.setdefault(key, []).append(int(s))
+            level_groups.append([(R, C, ss, -1)
+                                 for (R, C), ss in sorted(buckets.items())])
+        lx_size = S.lnz
 
     groups_all = []
-    for level_nodes in S.levels:
-        buckets: dict = {}
-        for s in level_nodes:
-            nr, nc = S.nrows(s), S.ncols(s)
-            key = (_pad_to(nr - nc, _R_LADDER) + _pad_to(nc, _C_LADDER),
-                   _pad_to(nc, _C_LADDER))
-            buckets.setdefault(key, []).append(int(s))
+    for placed in level_groups:
         glist = []
-        for (R, C), ss in sorted(buckets.items()):
+        for (R, C, ss, pbase) in placed:
             B = len(ss)
             RU = R - C
-            psrc = np.full(B * R * C, S.lnz, dtype=np.int64)
             cidx = np.full(B * C, S.n, dtype=np.int64)
             bidx = np.full(B * max(RU, 1), S.n, dtype=np.int64)
             nc_arr = np.zeros(B, dtype=np.int32)
+            psrc = (np.full(B * R * C, lx_size, dtype=np.int64)
+                    if layout == "px" else np.empty(0, dtype=np.int64))
             for b, s in enumerate(ss):
                 nr, nc = S.nrows(s), S.ncols(s)
                 f = int(S.super_first[s])
                 nc_arr[b] = nc
-                # panel gather: stored col-major (nr x nc) at Lpx[s];
-                # normalized layout row r' = r if r < nc else C + (r - nc)
-                kk = np.repeat(np.arange(nc, dtype=np.int64),
-                               nr - np.arange(nc))
-                rp = _ranges(np.arange(nc, dtype=np.int64),
-                             np.full(nc, nr, np.int64))
-                rloc = np.where(rp < nc, rp, C + (rp - nc))
-                psrc[b * R * C + rloc * C + kk] = S.Lpx[s] + kk * nr + rp
                 cidx[b * C:b * C + nc] = np.arange(f, f + nc)
                 if nr > nc:
                     bidx[b * max(RU, 1):b * max(RU, 1) + (nr - nc)] = \
                         S.rows[s][nc:]
-            glist.append(SolveGroup(R=R, C=C, B=B, panel_src=psrc,
-                                    col_idx=cidx, below_idx=bidx, nc=nc_arr))
+                if layout == "px":
+                    kk = np.repeat(np.arange(nc, dtype=np.int64),
+                                   nr - np.arange(nc))
+                    rp = _ranges(np.arange(nc, dtype=np.int64),
+                                 np.full(nc, nr, np.int64))
+                    rloc = np.where(rp < nc, rp, C + (rp - nc))
+                    psrc[b * R * C + rloc * C + kk] = S.Lpx[s] + kk * nr + rp
+            glist.append(SolveGroup(R=R, C=C, B=B, panel_base=pbase,
+                                    panel_src=psrc, col_idx=cidx,
+                                    below_idx=bidx, nc=nc_arr))
         groups_all.append(glist)
-    return SolvePlan(groups=groups_all, n=S.n, lnz=S.lnz)
+    return SolvePlan(groups=groups_all, n=S.n, lx_size=lx_size, layout=layout)
 
 
 def _solve_fn(plan: SolvePlan, Lx, b, dtype):
@@ -96,8 +116,12 @@ def _solve_fn(plan: SolvePlan, Lx, b, dtype):
     Lxp = jnp.concatenate([Lx.astype(dtype), jnp.zeros(1, dtype=dtype)])
     y = jnp.concatenate([b.astype(dtype), jnp.zeros((1, nrhs), dtype=dtype)])
 
-    def panels_of(g):
-        P = Lxp[g.panel_src].reshape(g.B, g.R, g.C)
+    def panels_of(g: SolveGroup):
+        if plan.layout == "device":
+            P = jax.lax.dynamic_slice_in_dim(
+                Lxp, g.panel_base, g.B * g.R * g.C).reshape(g.B, g.R, g.C)
+        else:
+            P = Lxp[g.panel_src].reshape(g.B, g.R, g.C)
         L11 = P[:, :g.C, :]
         ridx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 1)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 2)
@@ -143,13 +167,17 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
 
     S = F.S
     assert F.ok
-    plan = getattr(S, "_solve_plan", None)
-    if plan is None:
-        plan = build_solve_plan(S)
-        S._solve_plan = plan
+    layout = F.layout
+    plans = getattr(S, "_solve_plans", None)
+    if plans is None:
+        plans = {}
+        S._solve_plans = plans
+    if layout not in plans:
+        plans[layout] = build_solve_plan(S, layout)
+    plan = plans[layout]
     dtype = jnp.float64 if (config.compute_dtype == "float64"
                             and jax.config.jax_enable_x64) else jnp.float32
-    key = str(dtype)
+    key = (layout, str(dtype))
     cache = getattr(S, "_solve_cache", None)
     if cache is None or cache[0] != key:
         fn = jax.jit(lambda lx, bb: _solve_fn(plan, lx, bb, dtype))

@@ -95,8 +95,10 @@ def dist_factorize_device(A: CSC, S: SupernodalSymbolic, mesh,
     Lx = np.asarray(fn(jnp.asarray(C_low.data)), dtype=np.float64)
     minor = S.n
     if not np.all(np.isfinite(Lx)):
+        px = np.zeros(plan.lnz)
+        px[plan.px_dst] = Lx[plan.px_src]
         for s in range(S.nsuper):
-            if not np.all(np.isfinite(Lx[S.Lpx[s]:S.Lpx[s + 1]])):
+            if not np.all(np.isfinite(px[S.Lpx[s]:S.Lpx[s + 1]])):
                 minor = int(S.super_first[s])
                 break
-    return SupernodalFactor(S=S, Lx=Lx, minor=minor)
+    return SupernodalFactor(S=S, Lx=Lx, minor=minor, layout="device")

@@ -72,7 +72,7 @@ def test_device_matches_host(name, gen):
     Fd = supernodal_device.factorize_device(A, S, CFG64)
     assert Fd.ok
     scale = max(np.abs(Fh.Lx).max(), 1.0)
-    assert np.abs(Fh.Lx - Fd.Lx).max() / scale < 1e-13
+    assert np.abs(Fh.Lx - Fd.lx_host()).max() / scale < 1e-13
 
 
 def test_supernodal_solve_end_to_end():
