@@ -3,14 +3,19 @@
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Workload: 3-D Laplacian (the nd3k/nd24k-class model problem from the reference
-paper's test set, BASELINE.md) — AMD ordering, supernodal analysis, then
-steady-state numeric factorization on device (the analyze-once/factor-many
-regime the reference optimizes for). Metric is factorization GFLOP/s from the
-exact symbolic flop count (S.fl, same accounting as CHOLMOD's ``cm->fl``).
+paper's test set, BASELINE.md) — nested-dissection ordering, supernodal
+analysis, then steady-state numeric factorization on device (the
+analyze-once/factor-many regime the reference optimizes for). Metric is
+factorization GFLOP/s from the exact symbolic flop count (S.fl, same
+accounting as CHOLMOD's ``cm->fl``).
 
 vs_baseline: ratio against the reference's CPU-only supernodal CHOLMOD peak
 (~190 GFlop/s dp on 2x Xeon E5-2690v2 — BASELINE.md; its GPU-accelerated peak
 is 783). Single v5e chip, fp32.
+
+Timing methodology: the factorization call's success check performs a scalar
+device reduction, which is the synchronization point (``block_until_ready`` is
+unreliable on the axon platform).
 """
 
 from __future__ import annotations
@@ -26,20 +31,21 @@ BASELINE_CPU_GFLOPS = 190.0
 
 
 def main() -> None:
-    size = int(os.environ.get("BENCH_SIZE", "20"))
+    size = int(os.environ.get("BENCH_SIZE", "30"))
+    os.environ.setdefault("SSTPU_PLAN_CONSTS", "1")
     import jax
     import suitesparse_tpu as sst
     from suitesparse_tpu.io import fixtures
-    from suitesparse_tpu.ordering.amd import amd_order
+    from suitesparse_tpu.ordering import nested_dissection_order
     from suitesparse_tpu.symbolic.supernodes import analyze_supernodal
-    from suitesparse_tpu.numeric import supernodal_device, supernodal, simplicial
+    from suitesparse_tpu.numeric import supernodal_device, supernodal_solve
 
     platform = jax.devices()[0].platform
     A = fixtures.laplacian_3d(size)
     n = A.ncol
     t0 = time.time()
-    p = amd_order(A)
-    t_amd = time.time() - t0
+    p = nested_dissection_order(A)
+    t_ord = time.time() - t0
     t0 = time.time()
     S = analyze_supernodal(A, p)
     t_sym = time.time() - t0
@@ -57,9 +63,9 @@ def main() -> None:
         F = supernodal_device.factorize_device(A, S, cfg)
     t_factor = (time.time() - t0) / reps
 
-    # correctness gate: solve and check the reference residual norm
+    # correctness gate: device solve, reference residual norm
     b = 1.0 + np.arange(n) / n
-    x = simplicial.chol_solve(supernodal.SupernodalFactorAdapter(F), b)
+    x = supernodal_solve.solve_device(F, b, cfg)
     resid = sst.residual_norm(A, x, b)
     assert resid < 1e-2, f"residual {resid} out of range"  # fp32 factor
 
@@ -76,7 +82,7 @@ def main() -> None:
         "nsuper": S.nsuper,
         "factor_s": round(t_factor, 4),
         "first_call_s": round(t_first, 2),
-        "analyze_s": round(t_amd + t_sym, 2),
+        "analyze_s": round(t_ord + t_sym, 2),
         "residual": float(resid),
         "platform": platform,
     }))
