@@ -82,6 +82,10 @@ def factorize(A: CSC, S: SymbolicChol, config: Config = DEFAULT) -> Factor:
         ratio = S.fl / max(S.lnz, 1)
         kind = (FactorKind.SUPERNODAL_LL if ratio >= config.supernodal_switch
                 else FactorKind.SIMPLICIAL_LDL)
+        if np.iscomplexobj(A.data) and kind is FactorKind.SIMPLICIAL_LDL:
+            # LDL' is real-only (like the reference's supernodal LDL' gap);
+            # Hermitian input routes to LL^H
+            kind = FactorKind.SIMPLICIAL_LL
     if kind is FactorKind.SIMPLICIAL_LL:
         return simplicial.chol_up(A, S)
     if kind is FactorKind.SIMPLICIAL_LDL:

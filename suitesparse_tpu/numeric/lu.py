@@ -135,7 +135,7 @@ def factor_lu(A: CSC, S: LUSymbolic, config: Config = DEFAULT) -> LUNumeric:
     Aperm = Ascaled.permuted(S.rowperm, S.colperm)
 
     blocks: list = [None] * S.btf.nblocks
-    diag = np.zeros(n)
+    diag = np.zeros(n, dtype=Aperm.data.dtype)
     rowperm3 = S.rowperm.copy()
     singular_col = -1
     for k in range(S.btf.nblocks):
@@ -146,7 +146,7 @@ def factor_lu(A: CSC, S: LUSymbolic, config: Config = DEFAULT) -> LUNumeric:
             lo, hi = Aperm.indptr[j], Aperm.indptr[j + 1]
             sel = Aperm.indices[lo:hi] == j
             v = Aperm.data[lo:hi][sel]
-            d = float(v[0]) if v.size else 0.0
+            d = v[0] if v.size else 0.0
             if d == 0.0 and singular_col == -1:
                 singular_col = j
                 if config.halt_if_singular:
@@ -183,7 +183,8 @@ def _factor_block(C: CSC, tol: float) -> tuple[BlockLU | None, int]:
     sstpu_lu_factor (0 ok, k+1 singular)."""
     from .. import native
     nk = C.ncol
-    if native.available() and native.has("sstpu_lu_factor"):
+    if (native.available() and native.has("sstpu_lu_factor")
+            and not np.iscomplexobj(C.data)):  # complex uses the Python kernel
         import ctypes
         capacity = max(4 * C.nnz + nk, 1024)
         dll = native._load()
@@ -221,7 +222,8 @@ def _lu_gp_python(C: CSC, tol: float) -> tuple[BlockLU | None, int]:
     n = C.ncol
     pinv = np.full(n, -1, dtype=np.int64)
     P = np.empty(n, dtype=np.int64)
-    x = np.zeros(n)
+    x = np.zeros(n, dtype=np.complex128 if np.iscomplexobj(C.data)
+                 else np.float64)
     marked = np.zeros(n, dtype=bool)
     Lp = np.zeros(n + 1, dtype=np.int64)
     Up = np.zeros(n + 1, dtype=np.int64)
@@ -322,7 +324,7 @@ def refactor_lu(A: CSC, N: LUNumeric, config: Config = DEFAULT) -> LUNumeric:
     Ascaled, Rs = _scale_rows(Ag, config.lu_scale)
     Aperm = Ascaled.permuted(N.rowperm, S.colperm)  # final row space
     singular_col = -1
-    diag = np.zeros(n)
+    diag = np.zeros(n, dtype=Aperm.data.dtype)
     for k in range(S.btf.nblocks):
         k1, k2 = int(S.r[k]), int(S.r[k + 1])
         nk = k2 - k1
@@ -331,7 +333,7 @@ def refactor_lu(A: CSC, N: LUNumeric, config: Config = DEFAULT) -> LUNumeric:
             lo, hi = Aperm.indptr[j], Aperm.indptr[j + 1]
             sel = Aperm.indices[lo:hi] == j
             v = Aperm.data[lo:hi][sel]
-            d = float(v[0]) if v.size else 0.0
+            d = v[0] if v.size else 0.0
             if d == 0.0 and singular_col == -1:
                 singular_col = j
             diag[j] = d
@@ -381,7 +383,10 @@ def solve_lu(N: LUNumeric, b: np.ndarray) -> np.ndarray:
     from .simplicial import lsolve, usolve
     S = N.S
     n = S.n
-    b = np.asarray(b, dtype=np.float64)
+    b = np.asarray(b)
+    cplx = (np.iscomplexobj(b) or np.iscomplexobj(N.diag) or any(
+        np.iscomplexobj(bl.Lx) for bl in N.blocks if bl is not None))
+    b = b.astype(np.complex128 if cplx else np.float64)
     # scale + row-permute the rhs
     if b.ndim > 1:
         y = (b[N.rowperm].T / N.Rs[N.rowperm]).T
@@ -419,7 +424,9 @@ def solve_lu_refined(N: LUNumeric, A: CSC, b: np.ndarray,
     x = solve_lu(N, b)
     if ir_steps <= 0:
         return x
-    b = np.asarray(b, dtype=np.float64)
+    b = np.asarray(b)
+    if not np.iscomplexobj(b):
+        b = b.astype(np.float64)
     prev = np.inf
     for _ in range(ir_steps):
         r = b - A.matvec(x)

@@ -99,12 +99,14 @@ def chol_up(A: CSC, S: SymbolicChol) -> Factor:
     pivot is sqrt of what remains."""
     n = S.n
     C = A.symperm(S.perm) if not np.array_equal(S.perm, np.arange(n)) else A
+    cplx = np.iscomplexobj(C.data)
+    dtype = np.complex128 if cplx else np.float64
     Lp = S.Lp
     Li = np.zeros(S.lnz, dtype=np.int64)
-    Lx = np.zeros(S.lnz, dtype=np.float64)
+    Lx = np.zeros(S.lnz, dtype=dtype)
     # next write slot per column; diagonal reserved at Lp[k] (written last)
     fill = Lp[:-1].copy() + 1
-    x = np.zeros(n, dtype=np.float64)
+    x = np.zeros(n, dtype=dtype)
     mark = np.full(n, -1, dtype=np.int64)
     reach_buf = np.zeros(n, dtype=np.int64)
     parent = S.parent
@@ -115,21 +117,21 @@ def chol_up(A: CSC, S: SymbolicChol) -> Factor:
         lo, hi = C.indptr[k], C.indptr[k + 1]
         rows_k = C.indices[lo:hi]
         x[rows_k] = C.data[lo:hi]
-        d = x[k]
+        d = x[k].real if cplx else x[k]
         x[k] = 0.0
         for t in range(top, n):
             i = reach_buf[t]
-            # lki = x[i] / L[i,i]; L[i,i] is the first entry of column i
-            lki = x[i] / Lx[Lp[i]]
+            # forward-solve value y_i = x[i] / L[i,i] (diagonal is real > 0)
+            yi = x[i] / Lx[Lp[i]].real
             x[i] = 0.0
-            # x -= lki * L[i+1:, i]
+            # x -= y_i * L[i+1:, i]
             p0, p1 = Lp[i] + 1, fill[i]
-            x[Li[p0:p1]] -= lki * Lx[p0:p1]
-            d -= lki * lki
-            # store L[k, i]
+            x[Li[p0:p1]] -= yi * Lx[p0:p1]
+            # store L[k, i] = conj(y_i) (A = L L^H for complex Hermitian)
+            d -= (yi * np.conj(yi)).real if cplx else yi * yi
             q = fill[i]
             Li[q] = k
-            Lx[q] = lki
+            Lx[q] = np.conj(yi) if cplx else yi
             fill[i] = q + 1
         if d <= 0.0 or not np.isfinite(d):
             minor = k
@@ -143,7 +145,10 @@ def chol_up(A: CSC, S: SymbolicChol) -> Factor:
 
 
 def ldl_up(A: CSC, S: SymbolicChol, dbound: float = 0.0) -> Factor:
-    """Up-looking simplicial LDL' (LDL/ldl.c analog; handles indefinite D)."""
+    """Up-looking simplicial LDL' (LDL/ldl.c analog; handles indefinite D).
+
+    Real-only (complex Hermitian input uses :func:`chol_up`)."""
+    assert not np.iscomplexobj(A.data), "LDL' is real-only; use chol_up"
     n = S.n
     C = A.symperm(S.perm) if not np.array_equal(S.perm, np.arange(n)) else A
     Lp = S.Lp
@@ -192,7 +197,8 @@ def ldl_up(A: CSC, S: SymbolicChol, dbound: float = 0.0) -> Factor:
 def lsolve(L: CSC, b: np.ndarray) -> np.ndarray:
     """x = L \\ b for lower-triangular CSC L with diagonal entry first per column
     (cs_lsolve analog). Works for multiple RHS (b 2-D)."""
-    x = np.array(b, dtype=np.float64, copy=True)
+    cplx = np.iscomplexobj(L.data) or np.iscomplexobj(b)
+    x = np.array(b, dtype=np.complex128 if cplx else np.float64, copy=True)
     Lp, Li, Lx = L.indptr, L.indices, L.data
     for j in range(L.ncol):
         p0 = Lp[j]
@@ -208,9 +214,11 @@ def lsolve(L: CSC, b: np.ndarray) -> np.ndarray:
 
 
 def ltsolve(L: CSC, b: np.ndarray) -> np.ndarray:
-    """x = L' \\ b (cs_ltsolve analog)."""
-    x = np.array(b, dtype=np.float64, copy=True)
-    Lp, Li, Lx = L.indptr, L.indices, L.data
+    """x = L' \\ b (cs_ltsolve analog); conjugate-transpose solve L^H x = b
+    for complex factors."""
+    cplx = np.iscomplexobj(L.data) or np.iscomplexobj(b)
+    x = np.array(b, dtype=np.complex128 if cplx else np.float64, copy=True)
+    Lp, Li, Lx = L.indptr, L.indices, np.conj(L.data) if cplx else L.data
     for j in range(L.ncol - 1, -1, -1):
         p0, p1 = Lp[j], Lp[j + 1]
         if p1 > p0 + 1:
@@ -226,7 +234,8 @@ def ltsolve(L: CSC, b: np.ndarray) -> np.ndarray:
 def usolve(U: CSC, b: np.ndarray) -> np.ndarray:
     """x = U \\ b for upper-triangular CSC U with the diagonal entry LAST in
     each column (cs_usolve analog)."""
-    x = np.array(b, dtype=np.float64, copy=True)
+    cplx = np.iscomplexobj(U.data) or np.iscomplexobj(b)
+    x = np.array(b, dtype=np.complex128 if cplx else np.float64, copy=True)
     Up, Ui, Ux = U.indptr, U.indices, U.data
     for j in range(U.ncol - 1, -1, -1):
         p0, p1 = Up[j], Up[j + 1]
@@ -241,9 +250,10 @@ def usolve(U: CSC, b: np.ndarray) -> np.ndarray:
 
 
 def utsolve(U: CSC, b: np.ndarray) -> np.ndarray:
-    """x = U' \\ b."""
-    x = np.array(b, dtype=np.float64, copy=True)
-    Up, Ui, Ux = U.indptr, U.indices, U.data
+    """x = U' \\ b (conjugate transpose for complex factors)."""
+    cplx = np.iscomplexobj(U.data) or np.iscomplexobj(b)
+    x = np.array(b, dtype=np.complex128 if cplx else np.float64, copy=True)
+    Up, Ui, Ux = U.indptr, U.indices, np.conj(U.data) if cplx else U.data
     for j in range(U.ncol):
         p0, p1 = Up[j], Up[j + 1]
         if p1 - 1 > p0:
@@ -260,6 +270,7 @@ def chol_solve(F: Factor, b: np.ndarray) -> np.ndarray:
     """x = A \\ b given A(p,p) = LL' (or LDL'): x = P'(L' \\ (D \\ (L \\ Pb)))."""
     assert F.ok, f"factorization failed at column {F.minor}"
     pb = np.asarray(b)[F.perm]
+    
     y = lsolve(F.L, pb)
     if F.d is not None:
         y = (y.T / F.d).T if y.ndim > 1 else y / F.d

@@ -58,9 +58,10 @@ class GroupPlan:
     C: int
     B: int
     snodes: np.ndarray
-    amap: np.ndarray       # [B*R*C] gather map into Cdata_pad (0 = sentinel)
-    pmap: np.ndarray       # [B*R*C] gather map into heap (first contributor)
-    umap: np.ndarray       # [B*RU*RU] gather map into heap (first contributor)
+    pmap: np.ndarray       # [B*R*C] gather into the unified source pool
+                           # [0 | Cdata | level buffers...] (0 = sentinel);
+                           # covers BOTH assembly and first ext contributor
+    umap: np.ndarray       # [B*RU*RU] same, for the trailing update block
     pleft_src: np.ndarray  # rank>=2 contributors: panel.at[dst].add(heap[src])
     pleft_dst: np.ndarray
     uleft_src: np.ndarray
@@ -93,7 +94,7 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
     place = {}             # snode -> (heap slot base [incl +1 shift], RU)
     panel_place = {}       # snode -> (panel_base + b*R*C, R, C)
     panel_off = 0
-    heap_off = 1           # heap[0] is the gather sentinel (always 0.0)
+    heap_off = 1 + C_low.nnz  # pool = [sentinel | Cdata | level buffers...]
     for level_nodes in S.levels:
         buckets: dict = {}
         for s in level_nodes:
@@ -142,7 +143,6 @@ def _build_group(S: SupernodalSymbolic, C_low: CSC, ss, R, C, place,
                  children, panel_base, heap_base) -> GroupPlan:
     B = len(ss)
     RU = R - C
-    amap = np.zeros(B * R * C, dtype=np.int64)        # 0 = sentinel
     ext_p_pairs_src, ext_p_pairs_dst = [], []
     ext_u_pairs_src, ext_u_pairs_dst = [], []
     nc_arr = np.zeros(B, dtype=np.int32)
@@ -158,12 +158,14 @@ def _build_group(S: SupernodalSymbolic, C_low: CSC, ss, R, C, place,
         def lrow(pos):
             return np.where(pos < nc, pos, C + (pos - nc))
 
-        # assembly: unique per cell -> direct dense map (+1 for the sentinel)
+        # assembly entries join the same pair lists as the extend-add
+        # (source pool offsets 1..nnz are the Cdata region)
         lo, hi = int(C_low.indptr[f]), int(C_low.indptr[l])
         ents_per_col = np.diff(C_low.indptr[f:l + 1])
         colk = np.repeat(np.arange(nc, dtype=np.int64), ents_per_col)
         pos = np.searchsorted(rows, C_low.indices[lo:hi])
-        amap[base + lrow(pos) * C + colk] = np.arange(lo, hi, dtype=np.int64) + 1
+        ext_p_pairs_src.append(np.arange(lo, hi, dtype=np.int64) + 1)
+        ext_p_pairs_dst.append(base + lrow(pos) * C + colk)
 
         # extend-add pairs from children (global heap offsets)
         for ch in children[s]:
@@ -206,7 +208,7 @@ def _build_group(S: SupernodalSymbolic, C_low: CSC, ss, R, C, place,
     umap, uleft_src, uleft_dst = rank_split(ext_u_pairs_src, ext_u_pairs_dst,
                                             B * max(RU, 1) * max(RU, 1))
     return GroupPlan(R=R, C=C, B=B, snodes=np.asarray(ss, dtype=np.int64),
-                     amap=amap, pmap=pmap, umap=umap,
+                     pmap=pmap, umap=umap,
                      pleft_src=pleft_src, pleft_dst=pleft_dst,
                      uleft_src=uleft_src, uleft_dst=uleft_dst,
                      nc=nc_arr, panel_base=panel_base, heap_base=heap_base)
@@ -227,7 +229,7 @@ def _ranges(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
-_IDX_FIELDS = ["amap", "pmap", "umap", "pleft_src", "pleft_dst", "uleft_src",
+_IDX_FIELDS = ["pmap", "umap", "pleft_src", "pleft_dst", "uleft_src",
                "uleft_dst", "nc"]
 
 
@@ -247,14 +249,16 @@ def _unpack_idx(plan: Plan, flat):
             for glist in plan.groups]
 
 
-def _group_compute(g: GroupPlan, ix, Cdata_pad, heap, dtype, cstr=None):
-    """Assemble + factor one group; returns (panel_flat, update_flat)."""
+def _group_compute(g: GroupPlan, ix, heap, dtype, cstr=None):
+    """Assemble + factor one group; returns (panel_flat, update_flat).
+
+    ``heap`` is the unified source pool [0 | Cdata | earlier level buffers]."""
     import jax
     import jax.numpy as jnp
 
     B, R, C = g.B, g.R, g.C
     RU = R - C
-    panel = Cdata_pad[ix["amap"]] + heap[ix["pmap"]]
+    panel = heap[ix["pmap"]]
     if g.pleft_src.size:
         panel = panel.at[ix["pleft_dst"]].add(heap[ix["pleft_src"]])
     if RU > 0:
@@ -297,15 +301,14 @@ def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None):
     """The jitted numeric phase: returns the PADDED device factor buffer."""
     import jax.numpy as jnp
 
-    Cdata_pad = jnp.concatenate([jnp.zeros(1, dtype=dtype),
-                                 Cdata.astype(dtype)])
     idx = _unpack_idx(plan, flat_idx)
-    heap = jnp.zeros(1, dtype=dtype)  # slot 0 = gather sentinel
+    # unified source pool: [sentinel | Cdata | level buffers...]
+    heap = jnp.concatenate([jnp.zeros(1, dtype=dtype), Cdata.astype(dtype)])
     panels = []
     for d, glist in enumerate(plan.groups):
         level_updates = []
         for g, ix in zip(glist, idx[d]):
-            pflat, uflat = _group_compute(g, ix, Cdata_pad, heap, dtype, cstr)
+            pflat, uflat = _group_compute(g, ix, heap, dtype, cstr)
             panels.append(pflat)
             level_updates.append(uflat)
         if level_updates:

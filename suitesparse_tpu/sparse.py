@@ -95,8 +95,10 @@ class CSC:
         cols = np.repeat(np.arange(self.ncol), np.diff(self.indptr))
         A[self.indices, cols] = self.data
         if self.sym != 0:
-            # reflect the stored triangle
-            full = A + A.T
+            # reflect the stored triangle (Hermitian for complex data,
+            # matching the CHOLMOD stype convention)
+            mirror = A.conj().T if np.iscomplexobj(A) else A.T
+            full = A + mirror
             d = np.arange(min(self.nrow, self.ncol))
             full[d, d] = A[d, d]
             return full
@@ -163,10 +165,14 @@ class CSC:
         cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(self.indptr))
         i2 = pinv[self.indices]
         j2 = pinv[cols]
-        # keep entry in upper triangle of C: row=min, col=max
+        # keep entry in upper triangle of C: row=min, col=max; entries that
+        # flip triangles conjugate under the Hermitian convention
         r = np.minimum(i2, j2)
         c = np.maximum(i2, j2)
-        return from_triplets(n, n, r, c, self.data, sym=1)
+        x = self.data
+        if np.iscomplexobj(x):
+            x = np.where(i2 > j2, np.conj(x), x)
+        return from_triplets(n, n, r, c, x, sym=1)
 
     def _sort_indices(self) -> "CSC":
         """Sort row indices within each column (stable lexsort over (col,row))."""
@@ -204,14 +210,18 @@ class CSC:
                    self.data[keep], self.sym)
 
     def to_full_storage(self) -> "CSC":
-        """Symmetric-stored (sym=±1) → general storage with both triangles."""
+        """Symmetric-stored (sym=±1) → general storage with both triangles
+        (Hermitian reflection for complex data)."""
         if self.sym == 0:
             return self
         cols = np.repeat(np.arange(self.ncol, dtype=np.int64), np.diff(self.indptr))
         off = self.indices != cols
         r = np.concatenate([self.indices, cols[off]])
         c = np.concatenate([cols, self.indices[off]])
-        x = np.concatenate([self.data, self.data[off]])
+        mirrored = self.data[off]
+        if np.iscomplexobj(self.data):
+            mirrored = np.conj(mirrored)
+        x = np.concatenate([self.data, mirrored])
         return from_triplets(self.nrow, self.ncol, r, c, x, sym=0)
 
     # ---------------- numeric ops (host) ----------------
@@ -322,8 +332,9 @@ def from_triplets(nrow: int, ncol: int, rows, cols, vals, sym: int = 0) -> CSC:
     """Triplet → CSC with duplicate summation (cs_compress + cs_dupl analog)."""
     rows = _as_index(rows)
     cols = _as_index(cols)
-    vals = np.asarray(vals, dtype=np.float64 if np.asarray(vals).dtype.kind != "f"
-                      else np.asarray(vals).dtype)
+    vals = np.asarray(vals)
+    if vals.dtype.kind not in "fc":
+        vals = vals.astype(np.float64)
     assert rows.size == cols.size == vals.size
     if rows.size == 0:
         return CSC(nrow, ncol, np.zeros(ncol + 1, np.int64),
