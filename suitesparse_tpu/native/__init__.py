@@ -122,6 +122,7 @@ def _declare(dll) -> None:
     ])
     maybe("sstpu_colamd", c, [c, c, _i64, _i64, _i64, d, d])
     maybe("sstpu_nested_dissection", c, [c, _i64, _i64, _i64, c, c])
+    maybe("sstpu_camd", c, [c, _i64, _i64, _i64, _i64, c])
 
 
 def available() -> bool:
@@ -147,6 +148,22 @@ def amd(indptr: np.ndarray, indices: np.ndarray, n: int,
     rc = dll.sstpu_amd(n, _ptr_i64(indptr), _ptr_i64(indices), _ptr_i64(perm),
                        ctypes.c_double(dense), 1 if aggressive else 0)
     assert rc == 0, f"native amd failed rc={rc}"
+    return perm
+
+
+def camd(indptr: np.ndarray, indices: np.ndarray, n: int, cset: np.ndarray,
+         aggressive: bool = True) -> np.ndarray:
+    """Constrained AMD: like amd() but the output keeps constraint sets
+    contiguous in ascending set order (CAMD analog)."""
+    dll = _load()
+    assert dll is not None and hasattr(dll, "sstpu_camd")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    cset = np.ascontiguousarray(cset, dtype=np.int64)
+    perm = np.empty(n, dtype=np.int64)
+    rc = dll.sstpu_camd(n, _ptr_i64(indptr), _ptr_i64(indices),
+                        _ptr_i64(perm), _ptr_i64(cset), 1 if aggressive else 0)
+    assert rc == 0, f"native camd failed rc={rc}"
     return perm
 
 

@@ -91,8 +91,15 @@ struct AmdState {
 
 }  // namespace
 
-SSTPU_API i64 sstpu_amd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
-                        double dense, i64 aggressive) {
+namespace {
+
+// Shared AMD core; cset == nullptr -> unconstrained. With constraints the
+// output keeps constraint sets contiguous and in ascending set order
+// (reference CAMD semantics: camd.h / camd_2.c — each output supernode stays
+// within one constraint set), by restricting pivot selection to the lowest
+// still-active set and supervariable/mass merges to same-set variables.
+i64 amd_core(i64 n, const i64* Ap, const i64* Ai, i64* perm,
+             double dense, i64 aggressive, const i64* cset) {
   if (n <= 0) return 0;
   i64 nnz = Ap[n];
   AmdState S;
@@ -157,16 +164,36 @@ SSTPU_API i64 sstpu_amd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
   i64 nel = 0;     // eliminated original columns (weights)
   i64 nout = 0;    // output cursor
 
+  // constraint bookkeeping: remaining weight per set, current active set
+  i64 nsets = 0;
+  std::vector<i64> set_remaining;
+  if (cset) {
+    for (i64 i = 0; i < n; i++) nsets = std::max(nsets, cset[i] + 1);
+    set_remaining.assign(nsets, 0);
+    for (i64 i = 0; i < n; i++) set_remaining[cset[i]]++;
+  }
+  i64 cur_set = 0;
+
   while (nel < n_sparse) {
-    // ---- pivot selection: min approximate degree ----
+    // ---- pivot selection: min approximate degree (within the active set) ----
     i64 me = -1;
-    while (S.mindeg <= n) {
-      me = S.dhead[S.mindeg];
-      if (me != -1) break;
-      S.mindeg++;
+    if (cset) {
+      while (cur_set < nsets && set_remaining[cur_set] == 0) cur_set++;
+      // scan degree buckets for the first var in the active set
+      for (i64 d = 0; d <= n && me == -1; d++) {
+        for (i64 v = S.dhead[d]; v != -1; v = S.dnext[v]) {
+          if (cset[v] == cur_set) { me = v; S.bucket_remove(v, d); break; }
+        }
+      }
+    } else {
+      while (S.mindeg <= n) {
+        me = S.dhead[S.mindeg];
+        if (me != -1) break;
+        S.mindeg++;
+      }
+      if (me != -1) S.bucket_remove(me, S.mindeg);
     }
     if (me == -1) return -2;  // should not happen
-    S.bucket_remove(me, S.mindeg);
 
     i64 nvpiv = S.nv[me];
     nel += nvpiv;
@@ -217,7 +244,10 @@ SSTPU_API i64 sstpu_amd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
 
     if (lme.empty()) {
       // isolated (super)variable: output directly
-      for (i64 m = S.mhead[me]; m != -1; m = S.mnext[m]) perm[nout++] = m;
+      for (i64 m = S.mhead[me]; m != -1; m = S.mnext[m]) {
+        perm[nout++] = m;
+        if (cset) set_remaining[cset[m]]--;
+      }
       S.elen[me] = -3;  // fully retired element
       continue;
     }
@@ -308,6 +338,7 @@ SSTPU_API i64 sstpu_amd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
           i64 v = k2;
           if (S.nv[v] <= 0) continue;
           if (S.len[v] != S.len[i] || S.elen[v] != S.elen[i]) continue;
+          if (cset && cset[v] != cset[i]) continue;  // CAMD: stay in-set
           // compare lists as sets via wflg marking
           i64 mark = S.wflg++;
           i64 pi = S.pe[i];
@@ -332,7 +363,7 @@ SSTPU_API i64 sstpu_amd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
     i64 new_degme = 0;
     for (i64 j : lme) {
       if (S.nv[j] <= 0) continue;
-      if (S.degree[j] == 0) {
+      if (S.degree[j] == 0 && (!cset || cset[j] == cset[me])) {
         // j is internal to me: eliminate with the pivot
         nel += S.nv[j];
         S.nv[j] = 0;
@@ -348,10 +379,29 @@ SSTPU_API i64 sstpu_amd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
     if (new_degme == 0) S.elen[me] = -3;  // element fully retired
 
     // output the pivot supervariable's members
-    for (i64 m = S.mhead[me]; m != -1; m = S.mnext[m]) perm[nout++] = m;
+    for (i64 m = S.mhead[me]; m != -1; m = S.mnext[m]) {
+      perm[nout++] = m;
+      if (cset) set_remaining[cset[m]]--;
+    }
   }
 
   // postponed dense variables last
   for (i64 i : dense_nodes) perm[nout++] = i;
   return nout == n ? 0 : -1;
+}
+
+}  // namespace
+
+SSTPU_API i64 sstpu_amd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
+                        double dense, i64 aggressive) {
+  return amd_core(n, Ap, Ai, perm, dense, aggressive, nullptr);
+}
+
+// Constrained AMD (reference CAMD package: camd.h camd_order / camd_2.c —
+// each output supernode stays within one constraint set, sets appear in
+// ascending order). Dense postponement is disabled (it would break set
+// contiguity).
+SSTPU_API i64 sstpu_camd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
+                         const i64* cset, i64 aggressive) {
+  return amd_core(n, Ap, Ai, perm, 0.0, aggressive, cset);
 }

@@ -23,3 +23,29 @@ def colamd_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
 def nested_dissection_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
     from .nested_dissection import nested_dissection_order as _nd
     return _nd(A, config)
+
+
+def camd_order(A: CSC, cset: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
+    """Constrained AMD (CAMD analog): fill-reducing order of pattern(A+A')
+    keeping constraint sets contiguous in ascending set order — the NESDIS
+    post-ordering primitive (reference camd.h camd_order)."""
+    from .. import native
+    n = A.ncol
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    S = A.aat_pattern()
+    if native.available() and native.has("sstpu_camd"):
+        return native.camd(S.indptr, S.indices, n, cset)
+    # fallback: order each set independently with the Python MD, concatenate
+    from .amd import _amd_python
+    cset = np.asarray(cset, dtype=np.int64)
+    out = []
+    for s in np.unique(cset):
+        nodes = np.flatnonzero(cset == s)
+        if nodes.size == 1:
+            out.append(nodes)
+            continue
+        from .nested_dissection import _subgraph
+        sub = _subgraph(S, nodes)
+        out.append(nodes[_amd_python(sub)])
+    return np.concatenate(out)

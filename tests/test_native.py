@@ -135,3 +135,21 @@ def test_nested_dissection_ordering_api():
     # through the analyze API
     S = sst.analyze(A, sst.DEFAULT.replace(ordering=Ordering.METIS))
     assert S.lnz > 0
+
+
+def test_camd_constraint_contiguity():
+    if not native.has("sstpu_camd"):
+        pytest.skip("camd not built")
+    from suitesparse_tpu.ordering import camd_order
+    A = fixtures.laplacian_2d(20)
+    n = A.ncol
+    rng = np.random.default_rng(0)
+    cset = rng.integers(0, 4, size=n)
+    p = camd_order(A, cset)
+    assert np.array_equal(np.sort(p), np.arange(n))
+    seq = cset[p]
+    assert np.all(np.diff(seq) >= 0), "constraint sets must be contiguous"
+    # ordering remains fill-reducing within the constraint
+    S_c = simplicial.symbolic_cholesky(A, p)
+    S_nat = simplicial.symbolic_cholesky(A)
+    assert S_c.lnz < S_nat.lnz * 3
