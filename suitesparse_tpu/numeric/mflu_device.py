@@ -96,6 +96,10 @@ def build_lu_plan(S: SupernodalSymbolic, Cg: CSC, CgT: CSC) -> LUPlan:
             buckets.setdefault(key, []).append(int(s))
         placed = []
         for (R, C), ss in sorted(buckets.items()):
+            maxnc = max(S.ncols(s) for s in ss)
+            maxru = max(S.nrows(s) - S.ncols(s) for s in ss)
+            C = max(8 * ((maxnc + 7) // 8), 4)
+            R = C + 8 * ((maxru + 7) // 8)
             RU = R - C
             for b, s in enumerate(ss):
                 place[s] = (heap_off + b * RU * RU, RU)

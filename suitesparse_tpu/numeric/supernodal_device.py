@@ -105,6 +105,13 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
         glist = sorted(buckets.items())
         placed = []
         for (R, C), ss in glist:
+            # tighten: within the ladder bucket, size panels to the group's
+            # actual max dims (rounded to sublane multiples) — less padding,
+            # same number of compiled stages
+            maxnc = max(S.ncols(s) for s in ss)
+            maxru = max(S.nrows(s) - S.ncols(s) for s in ss)
+            C = max(8 * ((maxnc + 7) // 8), 4)
+            R = C + 8 * ((maxru + 7) // 8)
             RU = R - C
             for b, s in enumerate(ss):
                 place[s] = (heap_off + b * RU * RU, RU)
@@ -358,3 +365,35 @@ def factorize_device(A: CSC, S: SupernodalSymbolic,
                 minor = int(S.super_first[s])
                 break
     return SupernodalFactor(S=S, Lx=Lxdev, minor=minor, layout="device")
+
+
+def roofline_report(S: SupernodalSymbolic, bytes_per_elt: int = 4) -> str:
+    """Per-(level, bucket) flop/byte accounting from the static plan — the
+    analog of the reference's per-BLAS-call counters (cholmod_core.h:1002-1022)
+    computed AHEAD of time (the plan knows both sides of the roofline).
+
+    Returns a table: level, shape, batch, MFLOP, MB moved (gathers + panel
+    traffic), arithmetic intensity."""
+    plan = getattr(S, "_device_plan", None)
+    assert plan is not None, "run factorize_device (or build_plan) first"
+    lines = ["level  bucket(RxC)  batch    MFLOP     MB   flop/byte"]
+    tot_f = tot_b = 0.0
+    for d, glist in enumerate(plan.groups):
+        for g in glist:
+            fl = 0.0
+            for s in g.snodes:
+                nr, nc = S.nrows(int(s)), S.ncols(int(s))
+                fl += nc ** 3 / 3 + (nr - nc) * nc * nc + (nr - nc) ** 2 * nc
+            RU = g.R - g.C
+            cells = g.B * g.R * g.C + g.B * RU * RU
+            # traffic: map gathers (idx + data), panel/update write-out
+            byt = bytes_per_elt * (3 * cells + g.pleft_src.size * 2
+                                   + g.uleft_src.size * 2)
+            tot_f += fl
+            tot_b += byt
+            lines.append(f"{d:5d}  {g.R:5d}x{g.C:<5d} {g.B:6d} "
+                         f"{fl / 1e6:8.1f} {byt / 1e6:7.1f} "
+                         f"{fl / max(byt, 1):9.2f}")
+    lines.append(f"TOTAL  {'':12s} {'':6s} {tot_f / 1e6:8.1f} "
+                 f"{tot_b / 1e6:7.1f} {tot_f / max(tot_b, 1):9.2f}")
+    return "\n".join(lines)
