@@ -21,7 +21,8 @@ import numpy as np
 from ..sparse import CSC
 from .simplicial import Factor, SymbolicChol
 
-__all__ = ["updown", "affected_columns", "refactor_partial", "refactor_full"]
+__all__ = ["updown", "affected_columns", "refactor_partial", "refactor_full",
+           "rowadd", "rowdel"]
 
 
 def updown(F: Factor, sigma: float, w: np.ndarray) -> bool:
@@ -149,3 +150,84 @@ def _entry(L: CSC, i: int, j: int) -> float:
 def refactor_full(A: CSC, S: SymbolicChol, F: Factor) -> Factor:
     """Full numeric refactorization with the existing pattern (all columns)."""
     return refactor_partial(A, S, F, np.arange(S.n, dtype=np.int64))
+
+
+def _zero_row_entries(L: CSC, k: int) -> None:
+    """Zero L[k, j] for all j < k (in-place; O(k log) binary searches)."""
+    Lp, Li, Lx = L.indptr, L.indices, L.data
+    for j in range(k):
+        p0, p1 = Lp[j], Lp[j + 1]
+        t = np.searchsorted(Li[p0:p1], k)
+        if t < p1 - p0 and Li[p0 + t] == k:
+            Lx[p0 + t] = 0.0
+
+
+def rowdel(F: Factor, k: int) -> bool:
+    """Delete row/column k: the factored matrix becomes A with row/col k
+    replaced by e_k (cholmod_rowdel analog, LL' variant).
+
+    Column k's contribution to the trailing submatrix is removed by a rank-1
+    UPDATE with w = L[k+1:, k]; the row/column itself becomes identity."""
+    assert F.d is None, "rowdel operates on LL' factors"
+    L = F.L
+    n = L.ncol
+    p0, p1 = L.indptr[k], L.indptr[k + 1]
+    w = np.zeros(n)
+    w[L.indices[p0 + 1:p1]] = L.data[p0 + 1:p1]
+    # identity-ize column k and zero row k
+    L.data[p0] = 1.0
+    L.data[p0 + 1:p1] = 0.0
+    _zero_row_entries(L, k)
+    if not np.any(w):
+        return True
+    return updown(F, +1.0, w)
+
+
+def rowadd(F: Factor, k: int, col: np.ndarray) -> bool:
+    """Add row/column k (currently identity in the factor): the factored
+    matrix gains row/col k with values ``col`` (dense, PERMUTED space, must be
+    symmetric part: col[k] the diagonal; cholmod_rowadd analog, LL' variant).
+
+    New column k solves against L[0:k,0:k]; the trailing submatrix gets a
+    rank-1 DOWNDATE with the new below-diagonal part. Returns False if the
+    result is not positive definite."""
+    assert F.d is None, "rowadd operates on LL' factors"
+    L = F.L
+    n = L.ncol
+    Lp, Li, Lx = L.indptr, L.indices, L.data
+    col = np.asarray(col, dtype=np.float64)
+    # forward solve for the new row k of L: L[0:k,0:k] y = col[0:k]
+    x = col.copy()
+    d = float(col[k])
+    for j in range(k):
+        # y_j = x[j] / L[j,j]; pattern walk over stored column j
+        p0, p1 = Lp[j], Lp[j + 1]
+        yj = x[j] / Lx[p0]
+        if yj == 0.0:
+            continue
+        rows = Li[p0 + 1:p1]
+        x[rows] -= Lx[p0 + 1:p1] * yj
+        # write L[k, j] if the slot exists in the pattern
+        t = np.searchsorted(rows, k)
+        if t < rows.size and rows[t] == k:
+            Lx[p0 + 1 + t] = yj
+            d -= yj * yj
+        else:
+            assert yj == 0.0 or abs(yj) < 1e-300, \
+                "rowadd fill outside the factor pattern"
+    if d <= 0.0:
+        return False
+    # column k: diagonal + below part
+    p0, p1 = Lp[k], Lp[k + 1]
+    lkk = np.sqrt(d)
+    Lx[p0] = lkk
+    below = Li[p0 + 1:p1]
+    w = x[below] / lkk
+    Lx[p0 + 1:p1] = w
+    # remove the new column's contribution from the trailing factor (it was
+    # factored WITHOUT it): rank-1 downdate with w
+    wfull = np.zeros(n)
+    wfull[below] = w
+    if not np.any(wfull):
+        return True
+    return updown(F, -1.0, wfull)

@@ -108,3 +108,29 @@ def test_full_refactor():
     b = np.ones(50)
     x = simplicial.chol_solve(F2, b)
     assert residual_norm(A2, x, b) < 1e-12
+
+
+def test_rowdel_matches_refactor():
+    A, S, F = make_factor(n=50, seed=20)
+    k = 17
+    ok = modify.rowdel(F, k)
+    assert ok
+    # reference: factor the matrix with row/col k -> e_k (in PERMUTED space)
+    C = A.symperm(S.perm).to_dense()
+    C[k, :] = 0.0
+    C[:, k] = 0.0
+    C[k, k] = 1.0
+    Lref = np.linalg.cholesky(C)
+    assert np.allclose(F.L.to_dense(), Lref, atol=1e-8)
+
+
+def test_rowadd_roundtrip():
+    A, S, F = make_factor(n=40, seed=21)
+    k = 11
+    C = A.symperm(S.perm).to_dense()
+    colk = C[:, k].copy()
+    # delete then re-add the same row/col: factor must return (same pattern)
+    L0 = F.L.to_dense().copy()
+    assert modify.rowdel(F, k)
+    assert modify.rowadd(F, k, colk)
+    assert np.allclose(F.L.to_dense(), L0, atol=1e-7)
