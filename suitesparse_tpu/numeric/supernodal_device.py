@@ -5,22 +5,33 @@ runs the numeric phase as a sequence of BATCHED dense ops per elimination-tree
 level and shape bucket (potrf/trsm/syrk of ``t_cholmod_super_numeric.c`` per
 front, assembled multifrontally).
 
-GATHER-FIRST dataflow (v3 — driven by on-chip ablation): TPU scatters are
-~element-serialized (~10× slower than gathers), and the naive formulation
-spent >90% of runtime in two scatters. Here:
+ONE-HOT MATMUL assembly (v4 — driven by on-chip ablation): TPU gathers cost
+~5 ns/element and scatters ~55 ns/element, so the earlier gather-first design
+(dense sentinel maps over every padded front cell) was bandwidth-bound on the
+index maps themselves (~3 words per padded cell). Here the extend-add is
+re-expressed as MXU work, the TPU-native idiom for irregular placement:
 
-  * assembly and the FIRST extend-add contributor of every front cell are
-    dense GATHERS through sentinel-padded index maps (contributor
-    multiplicity is ~1.03 on ND-ordered meshes, so one map covers ~97%),
-  * only the rare rank≥2 contributors use scatter-add (a few % of elements),
-  * there is NO final stitch scatter: the factor's device representation IS
-    the concatenation of the padded per-group panel buffers; the
-    level-scheduled solves consume it natively, and a host-side index map
-    materializes the CHOLMOD ``px`` layout on demand.
+  * each child update block U_c (RU_c x RU_c, dense, padded) lands in its
+    parent's full front F (R x R) as  F += P @ U_c @ P^T  where P is the
+    one-hot placement matrix built ON DEVICE from a tiny row-position vector
+    (``iota == idx``) — no index-map HBM traffic at all, and arbitrary
+    contributor multiplicity is handled by plain accumulation (the reference's
+    scatter-assembly loop ``t_cholmod_super_numeric.c:724`` becomes two
+    batched matmuls);
+  * original-matrix entries are assembled by ONE sorted unique scatter of
+    nnz(A) values (elementwise, but tiny compared to front cells);
+  * per-(parent-group, child-group) pair classes batch the placement matmuls;
+    contributions are accumulated into parent slots by a block-granular
+    scatter-add (R*R contiguous elements per index — bandwidth-bound, not
+    index-bound).
 
-The update heap grows by one concatenation per level (bandwidth-cheap) with
-heap[0] permanently zero as the gather sentinel; Cdata is likewise
-sentinel-padded at index 0.
+The plan's index arrays total O(nnz(A) + sum RU_c) int32 words instead of
+O(padded cells) int64 — small enough to bake into the program as constants
+without hitting HLO size limits, and the compile is much faster.
+
+The factor's device representation is the concatenation of the padded
+per-group panel buffers; the level-scheduled solves consume it natively, and a
+host-side index map materializes the CHOLMOD ``px`` layout on demand.
 """
 
 from __future__ import annotations
@@ -51,6 +62,16 @@ def _pad_to(x: int, ladder) -> int:
 
 
 @dataclasses.dataclass
+class PairClass:
+    """All (child of group src -> parent slot of this group) extend-adds."""
+
+    src_level: int
+    src_gi: int
+    RU_c: int              # child update block size (padded, = source group RU)
+    npairs: int
+
+
+@dataclasses.dataclass
 class GroupPlan:
     """One (level, shape-bucket) batched step."""
 
@@ -58,17 +79,11 @@ class GroupPlan:
     C: int
     B: int
     snodes: np.ndarray
-    pmap: np.ndarray       # [B*R*C] gather into the unified source pool
-                           # [0 | Cdata | level buffers...] (0 = sentinel);
-                           # covers BOTH assembly and first ext contributor
-    umap: np.ndarray       # [B*RU*RU] same, for the trailing update block
-    pleft_src: np.ndarray  # rank>=2 contributors: panel.at[dst].add(heap[src])
-    pleft_dst: np.ndarray
-    uleft_src: np.ndarray
-    uleft_dst: np.ndarray
+    asrc: np.ndarray       # [nnz_g] gather into Cdata (original entries)
+    adst: np.ndarray       # [nnz_g] flat dst into (B*R*R), sorted, unique
     nc: np.ndarray         # per-slot actual column counts
-    panel_base: int        # offset of this group's pflat in the device factor
-    heap_base: int         # offset of this group's uflat in the heap (+1 shift)
+    pairs: list            # [PairClass]; per-class arrays live in the idx dict
+    panel_base: int        # offset of this group's panels in the device factor
 
 
 @dataclasses.dataclass
@@ -76,7 +91,6 @@ class Plan:
     groups: list           # groups[level] = [GroupPlan, ...]
     lnz: int               # CHOLMOD px-layout size (host materialization)
     dev_size: int          # total device factor size (sum of B*R*C)
-    heap_size: int         # total heap size incl. sentinel slot
     # host-side materialization map: Lx_px[px_dst] = Lx_dev[px_src]
     px_src: np.ndarray
     px_dst: np.ndarray
@@ -89,13 +103,11 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
         if S.sparent[s] != -1:
             children[S.sparent[s]].append(s)
 
-    # bucketize every level; assign global panel/heap offsets
+    # bucketize every level; assign global panel offsets and per-group slots
     level_layouts = []
-    place = {}             # snode -> (heap slot base [incl +1 shift], RU)
-    panel_place = {}       # snode -> (panel_base + b*R*C, R, C)
+    place = {}             # snode -> (level, gi, slot, RU of its group)
     panel_off = 0
-    heap_off = 1 + C_low.nnz  # pool = [sentinel | Cdata | level buffers...]
-    for level_nodes in S.levels:
+    for d, level_nodes in enumerate(S.levels):
         buckets: dict = {}
         for s in level_nodes:
             nr, nc = S.nrows(s), S.ncols(s)
@@ -104,7 +116,7 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
             buckets.setdefault(key, []).append(int(s))
         glist = sorted(buckets.items())
         placed = []
-        for (R, C), ss in glist:
+        for gi, ((R, C), ss) in enumerate(glist):
             # tighten: within the ladder bucket, size panels to the group's
             # actual max dims (rounded to sublane multiples) — less padding,
             # same number of compiled stages
@@ -112,21 +124,18 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
             maxru = max(S.nrows(s) - S.ncols(s) for s in ss)
             C = max(8 * ((maxnc + 7) // 8), 4)
             R = C + 8 * ((maxru + 7) // 8)
-            RU = R - C
             for b, s in enumerate(ss):
-                place[s] = (heap_off + b * RU * RU, RU)
-                panel_place[s] = (panel_off + b * R * C, R, C)
-            placed.append((R, C, ss, panel_off, heap_off))
+                place[s] = (d, gi, b, R - C)
+            placed.append((R, C, ss, panel_off))
             panel_off += len(ss) * R * C
-            heap_off += len(ss) * RU * RU
         level_layouts.append(placed)
 
     groups_all = []
     px_src_parts, px_dst_parts = [], []
     for placed in level_layouts:
         gplans = []
-        for (R, C, ss, pbase, hbase) in placed:
-            g = _build_group(S, C_low, ss, R, C, place, children, pbase, hbase)
+        for (R, C, ss, pbase) in placed:
+            g = _build_group(S, C_low, ss, R, C, place, children, pbase)
             gplans.append(g)
             # px materialization map
             for b, s in enumerate(ss):
@@ -142,83 +151,74 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
     cat = (lambda p: np.concatenate(p).astype(np.int64) if p
            else np.empty(0, np.int64))
     return Plan(groups=groups_all, lnz=S.lnz, dev_size=panel_off,
-                heap_size=heap_off, px_src=cat(px_src_parts),
-                px_dst=cat(px_dst_parts))
+                px_src=cat(px_src_parts), px_dst=cat(px_dst_parts))
 
 
 def _build_group(S: SupernodalSymbolic, C_low: CSC, ss, R, C, place,
-                 children, panel_base, heap_base) -> GroupPlan:
+                 children, panel_base) -> GroupPlan:
     B = len(ss)
-    RU = R - C
-    ext_p_pairs_src, ext_p_pairs_dst = [], []
-    ext_u_pairs_src, ext_u_pairs_dst = [], []
     nc_arr = np.zeros(B, dtype=np.int32)
+    a_src_parts, a_dst_parts = [], []
+    # pair classes keyed by source (level, gi): stacked idx rows + slot ids
+    pair_cls: dict = {}
 
     for b, s in enumerate(ss):
         rows = S.rows[s]
-        nr = len(rows)
         f, l = int(S.super_first[s]), int(S.super_first[s + 1])
         nc = l - f
         nc_arr[b] = nc
-        base = b * R * C
 
-        def lrow(pos):
+        def fcoord(pos):
+            # row-list position -> full-front coordinate (cols first, pad gap,
+            # then below-diagonal rows)
             return np.where(pos < nc, pos, C + (pos - nc))
 
-        # assembly entries join the same pair lists as the extend-add
-        # (source pool offsets 1..nnz are the Cdata region)
+        # original entries: C_low columns f..l are contiguous runs in Cdata
         lo, hi = int(C_low.indptr[f]), int(C_low.indptr[l])
         ents_per_col = np.diff(C_low.indptr[f:l + 1])
         colk = np.repeat(np.arange(nc, dtype=np.int64), ents_per_col)
         pos = np.searchsorted(rows, C_low.indices[lo:hi])
-        ext_p_pairs_src.append(np.arange(lo, hi, dtype=np.int64) + 1)
-        ext_p_pairs_dst.append(base + lrow(pos) * C + colk)
+        a_src_parts.append(np.arange(lo, hi, dtype=np.int64))
+        a_dst_parts.append(b * R * R + fcoord(pos) * R + colk)
 
-        # extend-add pairs from children (global heap offsets)
+        # extend-add pairs: child update rows -> parent front coordinates
         for ch in children[s]:
             mu = S.nrows(ch) - S.ncols(ch)
             if mu == 0:
                 continue
-            ho, RU_c = place[ch]
+            dc, gc, slot_c, RU_c = place[ch]
             rows_c = S.rows[ch][S.ncols(ch):]
-            idx = np.searchsorted(rows, rows_c)
-            ri = np.broadcast_to(idx[:, None], (mu, mu))
-            cj = np.broadcast_to(idx[None, :], (mu, mu))
-            srcm = ho + np.arange(mu)[:, None] * RU_c + np.arange(mu)
-            mp = (cj < nc) & (ri >= cj)
-            mum = (cj >= nc) & (ri >= nc)
-            if mp.any():
-                ext_p_pairs_src.append(srcm[mp])
-                ext_p_pairs_dst.append(base + lrow(ri[mp]) * C + cj[mp])
-            if mum.any():
-                ext_u_pairs_src.append(srcm[mum])
-                ext_u_pairs_dst.append(b * RU * RU + (ri[mum] - nc) * RU
-                                       + (cj[mum] - nc))
+            idx = fcoord(np.searchsorted(rows, rows_c)).astype(np.int32)
+            row = np.full(RU_c, -1, dtype=np.int32)
+            row[:mu] = idx
+            cls = pair_cls.setdefault((dc, gc), {"RU_c": RU_c, "src": [],
+                                                 "dst": [], "idx": []})
+            cls["src"].append(slot_c)
+            cls["dst"].append(b)
+            cls["idx"].append(row)
 
-    def rank_split(srcs, dsts, ncells):
-        """First contributor per cell -> dense map; rest -> scatter pairs."""
-        dense = np.zeros(ncells, dtype=np.int64)
-        if not srcs:
-            return dense, np.empty(0, np.int64), np.empty(0, np.int64)
-        src = np.concatenate(srcs)
-        dst = np.concatenate(dsts)
-        order = np.argsort(dst, kind="stable")
-        src, dst = src[order], dst[order]
-        first = np.ones(dst.size, dtype=bool)
-        first[1:] = dst[1:] != dst[:-1]
-        dense[dst[first]] = src[first]
-        rest = ~first
-        return dense, src[rest], dst[rest]
+    # sorted-unique A scatter
+    asrc = np.concatenate(a_src_parts) if a_src_parts else np.empty(0, np.int64)
+    adst = np.concatenate(a_dst_parts) if a_dst_parts else np.empty(0, np.int64)
+    order = np.argsort(adst, kind="stable")
+    asrc, adst = asrc[order].astype(np.int32), adst[order]
 
-    pmap, pleft_src, pleft_dst = rank_split(ext_p_pairs_src, ext_p_pairs_dst,
-                                            B * R * C)
-    umap, uleft_src, uleft_dst = rank_split(ext_u_pairs_src, ext_u_pairs_dst,
-                                            B * max(RU, 1) * max(RU, 1))
-    return GroupPlan(R=R, C=C, B=B, snodes=np.asarray(ss, dtype=np.int64),
-                     pmap=pmap, umap=umap,
-                     pleft_src=pleft_src, pleft_dst=pleft_dst,
-                     uleft_src=uleft_src, uleft_dst=uleft_dst,
-                     nc=nc_arr, panel_base=panel_base, heap_base=heap_base)
+    pairs, pair_arrays = [], {}
+    for (dc, gc), cls in sorted(pair_cls.items()):
+        dst = np.asarray(cls["dst"], dtype=np.int32)
+        order = np.argsort(dst, kind="stable")  # block-scatter likes sorted
+        pairs.append(PairClass(src_level=dc, src_gi=gc, RU_c=cls["RU_c"],
+                               npairs=len(dst)))
+        pair_arrays[(dc, gc)] = (
+            np.asarray(cls["src"], dtype=np.int32)[order],
+            dst[order],
+            np.stack(cls["idx"], axis=0)[order],
+        )
+    g = GroupPlan(R=R, C=C, B=B, snodes=np.asarray(ss, dtype=np.int64),
+                  asrc=asrc, adst=adst, nc=nc_arr, pairs=pairs,
+                  panel_base=panel_base)
+    g._pair_arrays = pair_arrays
+    return g
 
 
 def _ranges(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
@@ -236,50 +236,63 @@ def _ranges(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
-_IDX_FIELDS = ["pmap", "umap", "pleft_src", "pleft_dst", "uleft_src",
-               "uleft_dst", "nc"]
-
-
 def plan_arrays(plan: Plan):
     """Flatten index arrays (deterministic order) for passing as jit args."""
     flat = []
     for glist in plan.groups:
         for g in glist:
-            for f in _IDX_FIELDS:
-                flat.append(np.asarray(getattr(g, f)))
+            flat += [g.asrc, g.adst, g.nc]
+            for pc in g.pairs:
+                src, dst, idx = g._pair_arrays[(pc.src_level, pc.src_gi)]
+                flat += [src, dst, idx]
     return flat
 
 
 def _unpack_idx(plan: Plan, flat):
     it = iter(flat)
-    return [[{f: next(it) for f in _IDX_FIELDS} for _ in glist]
-            for glist in plan.groups]
+    out = []
+    for glist in plan.groups:
+        lvl = []
+        for g in glist:
+            ix = {"asrc": next(it), "adst": next(it), "nc": next(it),
+                  "pairs": []}
+            for _ in g.pairs:
+                ix["pairs"].append((next(it), next(it), next(it)))
+            lvl.append(ix)
+        out.append(lvl)
+    return out
 
 
-def _group_compute(g: GroupPlan, ix, heap, dtype, cstr=None):
-    """Assemble + factor one group; returns (panel_flat, update_flat).
-
-    ``heap`` is the unified source pool [0 | Cdata | earlier level buffers]."""
+def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None):
+    """Assemble + factor one group; returns (panel_flat, update or None)."""
     import jax
     import jax.numpy as jnp
 
     B, R, C = g.B, g.R, g.C
     RU = R - C
-    panel = heap[ix["pmap"]]
-    if g.pleft_src.size:
-        panel = panel.at[ix["pleft_dst"]].add(heap[ix["pleft_src"]])
-    if RU > 0:
-        f22 = heap[ix["umap"]]
-        if g.uleft_src.size:
-            f22 = f22.at[ix["uleft_dst"]].add(heap[ix["uleft_src"]])
-        f22 = f22.reshape(B, RU, RU)
-    else:
-        f22 = jnp.zeros((B, 1, 1), dtype=dtype)
-    panel = panel.reshape(B, R, C)
-    if cstr is not None:
-        panel, f22 = cstr(g, panel, f22)
+    # original entries: one sorted unique scatter of this group's nnz(A)
+    F = jnp.zeros(B * R * R, dtype=dtype)
+    if g.asrc.size:
+        F = F.at[ix["adst"]].set(Cdata[ix["asrc"]].astype(dtype),
+                                 indices_are_sorted=True, unique_indices=True)
+    F = F.reshape(B, R, R)
 
-    F11 = panel[:, :C, :]
+    # extend-add: child update blocks placed via one-hot matmuls (MXU), then
+    # block-granular accumulation into parent slots
+    for pc, (src, dst, idx) in zip(g.pairs, ix["pairs"]):
+        Usrc = updates[(pc.src_level, pc.src_gi)]        # (B_c, RU_c, RU_c)
+        child = Usrc[src]                                # contiguous row gather
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, pc.RU_c), 1)
+        P = (iota == idx[:, None, :]).astype(dtype)      # (np, R, RU_c)
+        half = jnp.matmul(P, child, preferred_element_type=dtype)
+        contrib = jnp.matmul(half, jnp.swapaxes(P, 1, 2),
+                             preferred_element_type=dtype)
+        F = F.at[dst].add(contrib, indices_are_sorted=True)
+
+    if cstr is not None:
+        F = cstr(g, F)
+
+    F11 = F[:, :C, :C]
     F11s = jnp.tril(F11) + jnp.swapaxes(jnp.tril(F11, -1), 1, 2)
     ridx = jax.lax.broadcasted_iota(jnp.int32, (B, C, C), 1)
     cidx = jax.lax.broadcasted_iota(jnp.int32, (B, C, C), 2)
@@ -290,18 +303,17 @@ def _group_compute(g: GroupPlan, ix, heap, dtype, cstr=None):
     L11 = jnp.linalg.cholesky(F11m)
     L11 = jnp.where(live, L11, 0.0)
     if RU > 0:
-        F21 = panel[:, C:, :]
+        F21 = F[:, C:, :C]
         L11solve = jnp.where(live, L11, eye)
         L21 = jax.lax.linalg.triangular_solve(
             L11solve, F21, left_side=False, lower=True, transpose_a=True)
-        U = f22 - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2),
-                             preferred_element_type=dtype)
+        U = F[:, C:, C:] - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2),
+                                      preferred_element_type=dtype)
         panel_out = jnp.concatenate([L11, L21], axis=1)
-        uflat = U.reshape(-1)
     else:
-        uflat = jnp.zeros(0, dtype=dtype)
+        U = None
         panel_out = L11
-    return panel_out.reshape(-1), uflat
+    return panel_out.reshape(-1), U
 
 
 def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None):
@@ -309,17 +321,14 @@ def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None):
     import jax.numpy as jnp
 
     idx = _unpack_idx(plan, flat_idx)
-    # unified source pool: [sentinel | Cdata | level buffers...]
-    heap = jnp.concatenate([jnp.zeros(1, dtype=dtype), Cdata.astype(dtype)])
+    updates = {}   # (level, gi) -> (B, RU, RU) child update blocks
     panels = []
     for d, glist in enumerate(plan.groups):
-        level_updates = []
-        for g, ix in zip(glist, idx[d]):
-            pflat, uflat = _group_compute(g, ix, heap, dtype, cstr)
+        for gi, (g, ix) in enumerate(zip(glist, idx[d])):
+            pflat, U = _group_compute(g, ix, Cdata, updates, dtype, cstr)
             panels.append(pflat)
-            level_updates.append(uflat)
-        if level_updates:
-            heap = jnp.concatenate([heap] + level_updates)
+            if U is not None:
+                updates[(d, gi)] = U
     return jnp.concatenate(panels) if panels else jnp.zeros(0, dtype=dtype)
 
 
@@ -372,8 +381,8 @@ def roofline_report(S: SupernodalSymbolic, bytes_per_elt: int = 4) -> str:
     analog of the reference's per-BLAS-call counters (cholmod_core.h:1002-1022)
     computed AHEAD of time (the plan knows both sides of the roofline).
 
-    Returns a table: level, shape, batch, MFLOP, MB moved (gathers + panel
-    traffic), arithmetic intensity."""
+    Returns a table: level, shape, batch, MFLOP (factor + placement matmuls),
+    MB moved (front buffers + A scatter + update blocks), intensity."""
     plan = getattr(S, "_device_plan", None)
     assert plan is not None, "run factorize_device (or build_plan) first"
     lines = ["level  bucket(RxC)  batch    MFLOP     MB   flop/byte"]
@@ -385,10 +394,15 @@ def roofline_report(S: SupernodalSymbolic, bytes_per_elt: int = 4) -> str:
                 nr, nc = S.nrows(int(s)), S.ncols(int(s))
                 fl += nc ** 3 / 3 + (nr - nc) * nc * nc + (nr - nc) ** 2 * nc
             RU = g.R - g.C
-            cells = g.B * g.R * g.C + g.B * RU * RU
-            # traffic: map gathers (idx + data), panel/update write-out
-            byt = bytes_per_elt * (3 * cells + g.pleft_src.size * 2
-                                   + g.uleft_src.size * 2)
+            pair_cells = 0
+            for pc in g.pairs:
+                # P @ U @ P^T placement matmuls on the MXU
+                fl += pc.npairs * (2.0 * g.R * pc.RU_c * pc.RU_c
+                                   + 2.0 * g.R * g.R * pc.RU_c)
+                pair_cells += pc.npairs * (pc.RU_c * pc.RU_c + g.R * g.R)
+            cells = g.B * g.R * g.R + g.B * RU * RU
+            byt = bytes_per_elt * (2 * cells + pair_cells) \
+                + g.asrc.size * (4 + 8 + bytes_per_elt)
             tot_f += fl
             tot_b += byt
             lines.append(f"{d:5d}  {g.R:5d}x{g.C:<5d} {g.B:6d} "

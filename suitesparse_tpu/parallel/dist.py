@@ -50,7 +50,7 @@ def _make_cstr(mesh, panel_row_threshold: int = 256):
     import jax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    def cstr(g, panel, f22):
+    def cstr(g, F):
         # many small fronts → shard the batch ("tree");
         # few huge fronts → shard front rows ("panel")
         if g.B > 1:
@@ -58,14 +58,8 @@ def _make_cstr(mesh, panel_row_threshold: int = 256):
         elif g.R >= panel_row_threshold:
             spec = P(None, "panel", None)
         else:
-            return panel, f22
-        panel = jax.lax.with_sharding_constraint(
-            panel, NamedSharding(mesh, spec))
-        if f22.shape[1] > 1:
-            uspec = spec if g.B > 1 else P(None, "panel", None)
-            f22 = jax.lax.with_sharding_constraint(
-                f22, NamedSharding(mesh, uspec))
-        return panel, f22
+            return F
+        return jax.lax.with_sharding_constraint(F, NamedSharding(mesh, spec))
 
     return cstr
 
