@@ -122,6 +122,7 @@ def _declare(dll) -> None:
     ])
     maybe("sstpu_colamd", c, [c, c, _i64, _i64, _i64, d, d])
     maybe("sstpu_nested_dissection", c, [c, _i64, _i64, _i64, c, c])
+    maybe("sstpu_nested_dissection_sets", c, [c, _i64, _i64, _i64, c, c, _i64])
     maybe("sstpu_camd", c, [c, _i64, _i64, _i64, _i64, c])
 
 
@@ -193,6 +194,24 @@ def nested_dissection(indptr: np.ndarray, indices: np.ndarray, n: int,
                                      _ptr_i64(perm), nd_small, seed)
     assert rc == 0, f"native nested dissection failed rc={rc}"
     return perm
+
+
+def nested_dissection_sets(indptr: np.ndarray, indices: np.ndarray, n: int,
+                           nd_small: int = 200, seed: int = 1
+                           ) -> tuple[np.ndarray, np.ndarray]:
+    """ND returning (perm, cmember): per-vertex constraint-set ids of the
+    leaf-block/separator decomposition (NESDIS Cmember analog)."""
+    dll = _load()
+    assert dll is not None and hasattr(dll, "sstpu_nested_dissection_sets")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    perm = np.empty(n, dtype=np.int64)
+    cmember = np.empty(n, dtype=np.int64)
+    rc = dll.sstpu_nested_dissection_sets(
+        n, _ptr_i64(indptr), _ptr_i64(indices), _ptr_i64(perm), nd_small,
+        seed, _ptr_i64(cmember))
+    assert rc == 0, f"native nested dissection failed rc={rc}"
+    return perm, cmember
 
 
 def etree(n: int, indptr: np.ndarray, indices: np.ndarray,

@@ -132,34 +132,77 @@ void initial_bisect(const Graph& g, std::vector<char>& side,
   // disconnected leftovers: they stay on side 1
 }
 
-// A few FM passes of single-vertex moves with balance tolerance.
+i64 cut_weight(const Graph& g, const std::vector<char>& side) {
+  i64 cut = 0;
+  for (i64 v = 0; v < g.n; v++)
+    for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++)
+      if (side[g.adj[p]] != side[v]) cut += g.ewgt.empty() ? 1 : g.ewgt[p];
+  return cut / 2;
+}
+
+// Fiduccia-Mattheyses refinement: per pass, tentatively move every vertex at
+// most once in best-gain order (negative-gain moves allowed — hill climbing),
+// then roll back to the best balanced prefix. Lazy max-heap with stale-entry
+// invalidation instead of METIS's gain buckets (weighted edges).
 void refine(const Graph& g, std::vector<char>& side) {
   if (g.n == 0) return;
   i64 w0 = 0;
   for (i64 v = 0; v < g.n; v++) if (side[v] == 0) w0 += g.vwgt[v];
   i64 W = g.total_vwgt;
-  double lo = 0.40 * W, hi = 0.60 * W;
+  i64 lo = (i64)(0.45 * W), hi = (i64)(0.55 * W) + 1;
   std::vector<i64> gain(g.n);
-  for (int pass = 0; pass < 4; pass++) {
-    bool any = false;
+  std::vector<char> moved(g.n);
+  std::vector<i64> moves;
+  moves.reserve(g.n);
+  std::vector<std::pair<i64, i64>> heap;  // (gain, v), lazy
+  auto push = [&](i64 v) { heap.push_back({gain[v], v});
+    std::push_heap(heap.begin(), heap.end()); };
+  for (int pass = 0; pass < 6; pass++) {
     for (i64 v = 0; v < g.n; v++) {
       i64 ext = 0, in = 0;
       for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
         i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
         if (side[g.adj[p]] != side[v]) ext += w; else in += w;
       }
-      i64 gv = ext - in;
-      if (gv <= 0) continue;
-      i64 nw0 = side[v] == 0 ? w0 - g.vwgt[v] : w0 + g.vwgt[v];
-      if (nw0 < lo || nw0 > hi) continue;
-      side[v] ^= 1;
-      w0 = nw0;
-      any = true;
+      gain[v] = ext - in;
     }
-    if (!any) break;
+    heap.clear();
+    for (i64 v = 0; v < g.n; v++) push(v);
+    std::fill(moved.begin(), moved.end(), 0);
+    moves.clear();
+    i64 delta = 0, best_delta = 0, best_len = 0, w0_run = w0, best_w0 = w0;
+    while (!heap.empty()) {
+      std::pop_heap(heap.begin(), heap.end());
+      auto [gv, v] = heap.back();
+      heap.pop_back();
+      if (moved[v] || gv != gain[v]) continue;  // stale
+      i64 nw0 = side[v] == 0 ? w0_run - g.vwgt[v] : w0_run + g.vwgt[v];
+      if (nw0 < lo || nw0 > hi) continue;      // infeasible now; maybe later
+      moved[v] = 1;
+      side[v] ^= 1;
+      w0_run = nw0;
+      delta += gv;
+      moves.push_back(v);
+      if (delta > best_delta) {
+        best_delta = delta;
+        best_len = (i64)moves.size();
+        best_w0 = w0_run;
+      }
+      for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
+        i64 u = g.adj[p];
+        if (moved[u]) continue;
+        i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
+        // v left u's side -> u's external weight grew (or shrank)
+        gain[u] += (side[u] == side[v]) ? -2 * w : 2 * w;
+        push(u);
+      }
+    }
+    // roll back past the best prefix
+    for (i64 k = (i64)moves.size() - 1; k >= best_len; k--)
+      side[moves[k]] ^= 1;
+    w0 = best_w0;
+    if (best_delta <= 0) break;
   }
-  // keep balance sane even if refinement drifted
-  (void)lo; (void)hi;
 }
 
 // Vertex separator from the edge cut: MINIMUM vertex cover of the cut's
@@ -227,10 +270,63 @@ void separator(const Graph& g, const std::vector<char>& side,
   for (i64 iv = 0; iv < nv; iv++) if (zv[iv]) insep[bv[iv]] = 1;
 }
 
+// Node-separator FM refinement (Ashcraft-Liu / METIS FM_2WayNodeRefine):
+// repeatedly move a separator vertex v into one side; v's neighbors on the
+// OTHER side get pulled into the separator. gain = w(v) - w(pulled). The
+// vertex-cover separator is minimal for the given edge cut; this pass can
+// leave that local optimum and shrink |S| directly.
+void nodesep_refine(const Graph& g, std::vector<char>& side,
+                    std::vector<char>& insep) {
+  i64 W = g.total_vwgt;
+  i64 w[2] = {0, 0};
+  for (i64 v = 0; v < g.n; v++)
+    if (!insep[v]) w[side[v]] += g.vwgt[v];
+  i64 cap = (i64)(0.65 * W) + 1;
+  for (int pass = 0; pass < 8; pass++) {
+    bool improved = false;
+    for (i64 v = 0; v < g.n; v++) {
+      if (!insep[v]) continue;
+      i64 best_t = -1, best_gain = 0, best_pull = 0;
+      for (int t = 0; t < 2; t++) {
+        i64 pull = 0;
+        for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
+          i64 u = g.adj[p];
+          if (!insep[u] && side[u] != t) pull += g.vwgt[u];
+        }
+        i64 gain = g.vwgt[v] - pull;
+        if (w[t] + g.vwgt[v] > cap) continue;
+        if (gain > best_gain ||
+            (gain == best_gain && best_t != -1 && w[t] < w[best_t])) {
+          best_t = t;
+          best_gain = gain;
+          best_pull = pull;
+        }
+      }
+      if (best_t == -1 || best_gain <= 0) continue;
+      // apply: v joins side best_t; other-side neighbors join the separator
+      insep[v] = 0;
+      side[v] = (char)best_t;
+      w[best_t] += g.vwgt[v];
+      for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
+        i64 u = g.adj[p];
+        if (!insep[u] && side[u] != best_t) {
+          insep[u] = 1;
+          w[side[u]] -= g.vwgt[u];
+        }
+      }
+      improved = true;
+      (void)best_pull;
+    }
+    if (!improved) break;
+  }
+}
+
 struct NDContext {
   i64 nd_small;
   std::mt19937_64 rng;
   i64* perm;
+  i64* cpos = nullptr;  // optional: block id per elimination POSITION
+  i64 nblocks = 0;      // raw block counter (renumbered by caller)
 };
 
 // Order subgraph (vertices vmap into the original) into perm[lo..hi).
@@ -244,6 +340,10 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
     if (sstpu_amd(n, g.xadj.data(), g.adj.data(), p.data(), 10.0, 1) != 0)
       for (i64 i = 0; i < n; i++) p[i] = i;
     for (i64 k = 0; k < n; k++) ctx.perm[lo + k] = vmap[p[k]];
+    if (ctx.cpos) {
+      i64 id = ctx.nblocks++;
+      for (i64 k = 0; k < n; k++) ctx.cpos[lo + k] = id;
+    }
     return;
   }
   // multilevel bisection
@@ -258,9 +358,20 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
     cmaps.push_back(std::move(cmap));
     levels.push_back(std::move(cg));
   }
-  std::vector<char> side;
-  initial_bisect(levels.back(), side, ctx.rng);
-  refine(levels.back(), side);
+  // coarsest-level bisection with random restarts (METIS-style: keep the
+  // refined candidate with the smallest cut)
+  std::vector<char> side, cand;
+  i64 best_cut = -1;
+  for (int r = 0; r < 3; r++) {
+    initial_bisect(levels.back(), cand, ctx.rng);
+    refine(levels.back(), cand);
+    i64 cut = cut_weight(levels.back(), cand);
+    if (best_cut < 0 || cut < best_cut) {
+      best_cut = cut;
+      side = cand;
+    }
+    if (levels.back().n <= 2) break;
+  }
   for (i64 l = (i64)levels.size() - 2; l >= 0; l--) {
     std::vector<char> fine(levels[l].n);
     for (i64 v = 0; v < levels[l].n; v++) fine[v] = side[cmaps[l][v]];
@@ -270,6 +381,7 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
   Graph& fg = levels[0];
   std::vector<char> insep;
   separator(fg, side, insep);
+  nodesep_refine(fg, side, insep);
   // split into parts
   std::vector<i64> id(fg.n, -1);
   std::vector<i64> a_nodes, b_nodes, s_nodes;
@@ -285,6 +397,10 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
         != 0)
       for (i64 i = 0; i < fg.n; i++) p[i] = i;
     for (i64 k = 0; k < fg.n; k++) ctx.perm[lo + k] = vmap[p[k]];
+    if (ctx.cpos) {
+      i64 id = ctx.nblocks++;
+      for (i64 k = 0; k < fg.n; k++) ctx.cpos[lo + k] = id;
+    }
     return;
   }
   auto build_sub = [&](const std::vector<i64>& nodes, Graph& sg,
@@ -313,6 +429,10 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
       ns = (i64)s_nodes.size();
   // separator ordered last within [lo, hi)
   for (i64 k = 0; k < ns; k++) ctx.perm[hi - ns + k] = vmap[s_nodes[k]];
+  if (ctx.cpos && ns > 0) {
+    i64 id = ctx.nblocks++;
+    for (i64 k = 0; k < ns; k++) ctx.cpos[hi - ns + k] = id;
+  }
   Graph ga, gb;
   std::vector<i64> va, vb;
   build_sub(a_nodes, ga, va);
@@ -324,8 +444,12 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
 
 }  // namespace
 
-SSTPU_API i64 sstpu_nested_dissection(i64 n, const i64* Ap, const i64* Ai,
-                                      i64* perm, i64 nd_small, i64 seed) {
+// cmember: optional per-VERTEX constraint-set ids (NESDIS Cmember,
+// cholmod_nesdis.c): leaf blocks and separators, numbered by elimination
+// position — the input to constrained AMD. Pass nullptr to skip.
+SSTPU_API i64 sstpu_nested_dissection_sets(i64 n, const i64* Ap, const i64* Ai,
+                                           i64* perm, i64 nd_small, i64 seed,
+                                           i64* cmember) {
   if (n <= 0) return 0;
   Graph g;
   g.n = n;
@@ -337,8 +461,29 @@ SSTPU_API i64 sstpu_nested_dissection(i64 n, const i64* Ap, const i64* Ai,
   ctx.nd_small = std::max<i64>(nd_small, 16);
   ctx.rng.seed((uint64_t)seed);
   ctx.perm = perm;
+  std::vector<i64> cpos;
+  if (cmember) {
+    cpos.assign(n, 0);
+    ctx.cpos = cpos.data();
+  }
   std::vector<i64> vmap(n);
   for (i64 i = 0; i < n; i++) vmap[i] = i;
   nd_recurse(ctx, std::move(g), std::move(vmap), 0, n);
+  if (cmember) {
+    // renumber blocks ascending by elimination position
+    std::vector<i64> newid(ctx.nblocks, -1);
+    i64 next = 0;
+    for (i64 k = 0; k < n; k++) {
+      i64 b = cpos[k];
+      if (newid[b] == -1) newid[b] = next++;
+      cmember[perm[k]] = newid[b];
+    }
+  }
   return 0;
+}
+
+SSTPU_API i64 sstpu_nested_dissection(i64 n, const i64* Ap, const i64* Ai,
+                                      i64* perm, i64 nd_small, i64 seed) {
+  return sstpu_nested_dissection_sets(n, Ap, Ai, perm, nd_small, seed,
+                                      nullptr);
 }

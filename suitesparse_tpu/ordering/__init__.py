@@ -8,7 +8,9 @@ from ..config import Config, DEFAULT
 from ..sparse import CSC
 from .amd import amd_order
 
-__all__ = ["amd_order", "colamd_order", "nested_dissection_order", "natural_order"]
+__all__ = ["amd_order", "colamd_order", "nested_dissection_order",
+           "natural_order", "camd_order", "ccolamd_order", "symamd_order",
+           "csymamd_order", "nesdis_order"]
 
 
 def natural_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
@@ -23,6 +25,28 @@ def colamd_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
 def nested_dissection_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
     from .nested_dissection import nested_dissection_order as _nd
     return _nd(A, config)
+
+
+def nesdis_order(A: CSC, config: Config = DEFAULT):
+    from .nested_dissection import nesdis_order as _n
+    return _n(A, config)
+
+
+def ccolamd_order(A: CSC, cset: np.ndarray,
+                  config: Config = DEFAULT) -> np.ndarray:
+    from .colamd import ccolamd_order as _c
+    return _c(A, cset, config)
+
+
+def symamd_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
+    from .colamd import symamd_order as _s
+    return _s(A, config)
+
+
+def csymamd_order(A: CSC, cset: np.ndarray,
+                  config: Config = DEFAULT) -> np.ndarray:
+    from .colamd import csymamd_order as _s
+    return _s(A, cset, config)
 
 
 def camd_order(A: CSC, cset: np.ndarray, config: Config = DEFAULT) -> np.ndarray:

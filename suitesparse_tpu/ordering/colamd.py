@@ -17,14 +17,12 @@ from ..config import Config, DEFAULT
 from ..sparse import CSC, from_triplets
 from .amd import amd_order
 
-__all__ = ["colamd_order"]
+__all__ = ["colamd_order", "ccolamd_order", "symamd_order", "csymamd_order"]
 
 
-def colamd_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
-    """Fill-reducing column permutation q for LU/QR of A (colamd analog)."""
+def _ata_pattern(A: CSC, config: Config) -> CSC:
+    """Pattern of A'A with dense rows dropped (COLAMD's dense-row handling)."""
     m, n = A.nrow, A.ncol
-    if n == 0:
-        return np.empty(0, dtype=np.int64)
     Ag = A.to_full_storage() if A.sym != 0 else A
     # drop dense rows: they make A'A dense without guiding the ordering
     row_counts = np.bincount(Ag.indices, minlength=m)
@@ -49,11 +47,47 @@ def colamd_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
     if rr:
         r = np.concatenate(rr + cc)
         c = np.concatenate(cc + rr)
-        S = from_triplets(n, n, r, c, np.ones(r.size))
-    else:
-        S = from_triplets(n, n, [], [], [])
+        return from_triplets(n, n, r, c, np.ones(r.size))
+    return from_triplets(n, n, [], [], [])
+
+
+def colamd_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
+    """Fill-reducing column permutation q for LU/QR of A (colamd analog)."""
+    n = A.ncol
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    S = _ata_pattern(A, config)
     from .. import native
     if native.available():
         return native.amd(S.indptr, S.indices, n, dense=config.colamd_dense_col)
     from .amd import _amd_python
     return _amd_python(S, dense=config.colamd_dense_col)
+
+
+def ccolamd_order(A: CSC, cset: np.ndarray,
+                  config: Config = DEFAULT) -> np.ndarray:
+    """Constrained COLAMD (CCOLAMD analog, ``ccolamd.h``): column ordering for
+    LU/QR where each output column block stays within one constraint set,
+    sets emitted in ascending order — used by SPQR/NESDIS to post-order
+    partitioned problems. Route: A'A pattern (dense rows dropped) + CAMD."""
+    n = A.ncol
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    from . import camd_order
+    S = _ata_pattern(A, config)  # full-storage symmetric pattern
+    return camd_order(S, cset, config)
+
+
+def symamd_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
+    """SYMAMD analog (``colamd.h`` symamd): ordering for a symmetric matrix
+    via the column engine. Here the AMD engine on pattern(A+A') plays that
+    role directly (the reference routes through colamd on a skeleton)."""
+    from .amd import amd_order
+    return amd_order(A, config)
+
+
+def csymamd_order(A: CSC, cset: np.ndarray,
+                  config: Config = DEFAULT) -> np.ndarray:
+    """CSYMAMD analog (``ccolamd.h`` csymamd): constrained symmetric ordering."""
+    from . import camd_order
+    return camd_order(A, cset, config)

@@ -19,7 +19,7 @@ from ..config import Config, DEFAULT
 from ..sparse import CSC
 from .amd import amd_order, _amd_python
 
-__all__ = ["nested_dissection_order"]
+__all__ = ["nested_dissection_order", "nesdis_order"]
 
 
 def nested_dissection_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
@@ -33,6 +33,38 @@ def nested_dissection_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:
         return native.nested_dissection(S.indptr, S.indices, n,
                                         nd_small=config.nd_small)
     return _nd_python(S, config.nd_small)
+
+
+def nesdis_order(A: CSC, config: Config = DEFAULT
+                 ) -> tuple[np.ndarray, np.ndarray]:
+    """NESDIS analog (``CHOLMOD/Partition/cholmod_nesdis.c``): nested
+    dissection down to nd_small leaves, then ONE constrained-AMD pass over
+    the whole graph with the leaf-block/separator decomposition as the
+    constraint sets (Cmember) — lets minimum degree re-order freely inside
+    each region while keeping the separator tree's elimination structure.
+
+    Returns (perm, cmember) with cmember in post-CAMD vertex order semantics
+    (set ids ascending along perm)."""
+    from .. import native
+
+    n = A.ncol
+    if n == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    S = A.aat_pattern()
+    if native.available() and native.has("sstpu_nested_dissection_sets"):
+        _, cmember = native.nested_dissection_sets(S.indptr, S.indices, n,
+                                                   nd_small=config.nd_small)
+    else:
+        perm0 = _nd_python(S, config.nd_small)
+        # fallback sets: contiguous nd_small-sized chunks of the ND order
+        cmember = np.empty(n, dtype=np.int64)
+        nblk = max(1, n // max(config.nd_small, 1))
+        bounds = np.linspace(0, n, nblk + 1).astype(np.int64)
+        for b in range(nblk):
+            cmember[perm0[bounds[b]:bounds[b + 1]]] = b
+    from . import camd_order
+    perm = camd_order(A, cmember, config)
+    return perm, cmember
 
 
 def _nd_python(S: CSC, nd_small: int) -> np.ndarray:
