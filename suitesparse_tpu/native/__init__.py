@@ -123,6 +123,7 @@ def _declare(dll) -> None:
     maybe("sstpu_colamd", c, [c, c, _i64, _i64, _i64, d, d])
     maybe("sstpu_nested_dissection", c, [c, _i64, _i64, _i64, c, c])
     maybe("sstpu_nested_dissection_sets", c, [c, _i64, _i64, _i64, c, c, _i64])
+    maybe("sstpu_edgecut", c, [c, _i64, _i64, _i64, d, d, c, _i64])
     maybe("sstpu_camd", c, [c, _i64, _i64, _i64, _i64, c])
 
 
@@ -212,6 +213,24 @@ def nested_dissection_sets(indptr: np.ndarray, indices: np.ndarray, n: int,
         seed, _ptr_i64(cmember))
     assert rc == 0, f"native nested dissection failed rc={rc}"
     return perm, cmember
+
+
+def edgecut(indptr: np.ndarray, indices: np.ndarray, n: int,
+            target_split: float = 0.5, tolerance: float = 0.05,
+            seed: int = 1) -> tuple[np.ndarray, int]:
+    """Multilevel two-way edge-cut partition (Mongoose EdgeCut analog).
+    Returns (part in {0,1}^n, cut weight)."""
+    dll = _load()
+    assert dll is not None and hasattr(dll, "sstpu_edgecut")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    part = np.empty(n, dtype=np.int64)
+    out = np.zeros(2, dtype=np.int64)
+    rc = dll.sstpu_edgecut(n, _ptr_i64(indptr), _ptr_i64(indices),
+                           _ptr_i64(part), ctypes.c_double(target_split),
+                           ctypes.c_double(tolerance), seed, _ptr_i64(out))
+    assert rc == 0, f"native edgecut failed rc={rc}"
+    return part, int(out[0])
 
 
 def etree(n: int, indptr: np.ndarray, indices: np.ndarray,

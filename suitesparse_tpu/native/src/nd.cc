@@ -92,7 +92,7 @@ i64 match(const Graph& g, std::vector<i64>& cmap, std::mt19937_64& rng) {
 
 // BFS region growing from a pseudo-peripheral vertex; side[v] in {0,1}.
 void initial_bisect(const Graph& g, std::vector<char>& side,
-                    std::mt19937_64& rng) {
+                    std::mt19937_64& rng, double target = 0.5) {
   side.assign(g.n, 1);
   if (g.n == 0) return;
   // pseudo-peripheral: BFS twice
@@ -119,8 +119,8 @@ void initial_bisect(const Graph& g, std::vector<char>& side,
   i64 qh = 0, qt = 0;
   queue[qt++] = start;
   dist[start] = 0;
-  i64 grown = 0, target = g.total_vwgt / 2;
-  while (qh < qt && grown < target) {
+  i64 grown = 0, goal = (i64)(target * g.total_vwgt);
+  while (qh < qt && grown < goal) {
     i64 v = queue[qh++];
     side[v] = 0;
     grown += g.vwgt[v];
@@ -144,12 +144,13 @@ i64 cut_weight(const Graph& g, const std::vector<char>& side) {
 // most once in best-gain order (negative-gain moves allowed — hill climbing),
 // then roll back to the best balanced prefix. Lazy max-heap with stale-entry
 // invalidation instead of METIS's gain buckets (weighted edges).
-void refine(const Graph& g, std::vector<char>& side) {
+void refine(const Graph& g, std::vector<char>& side,
+            double flo = 0.45, double fhi = 0.55) {
   if (g.n == 0) return;
   i64 w0 = 0;
   for (i64 v = 0; v < g.n; v++) if (side[v] == 0) w0 += g.vwgt[v];
   i64 W = g.total_vwgt;
-  i64 lo = (i64)(0.45 * W), hi = (i64)(0.55 * W) + 1;
+  i64 lo = (i64)(flo * W), hi = (i64)(fhi * W) + 1;
   std::vector<i64> gain(g.n);
   std::vector<char> moved(g.n);
   std::vector<i64> moves;
@@ -486,4 +487,56 @@ SSTPU_API i64 sstpu_nested_dissection(i64 n, const i64* Ap, const i64* Ai,
                                       i64* perm, i64 nd_small, i64 seed) {
   return sstpu_nested_dissection_sets(n, Ap, Ai, perm, nd_small, seed,
                                       nullptr);
+}
+
+// Mongoose-class edge-cut bipartition (Mongoose.hpp:87-144 EdgeCut): the same
+// multilevel machinery as ND but returning the two-way PART VECTOR and cut
+// weight instead of a separator ordering. target_split/tolerance mirror
+// EdgeCut_Options (default 0.5 / 0.05); returns 0 and fills part[0..n),
+// cut_out[0] = cut weight, cut_out[1] = side-0 vertex weight.
+SSTPU_API i64 sstpu_edgecut(i64 n, const i64* Ap, const i64* Ai, i64* part,
+                            double target_split, double tolerance, i64 seed,
+                            i64* cut_out) {
+  if (n <= 0) { cut_out[0] = 0; cut_out[1] = 0; return 0; }
+  Graph g;
+  g.n = n;
+  g.xadj.assign(Ap, Ap + n + 1);
+  g.adj.assign(Ai, Ai + Ap[n]);
+  g.vwgt.assign(n, 1);
+  g.total_vwgt = n;
+  std::mt19937_64 rng((uint64_t)seed);
+  double flo = std::max(0.0, target_split - tolerance);
+  double fhi = std::min(1.0, target_split + tolerance);
+
+  std::vector<Graph> levels;
+  std::vector<std::vector<i64>> cmaps;
+  levels.push_back(std::move(g));
+  while (levels.back().n > 100) {
+    std::vector<i64> cmap;
+    i64 cn = match(levels.back(), cmap, rng);
+    if (cn > levels.back().n * 9 / 10) break;
+    Graph cg = contract(levels.back(), cmap, cn);
+    cmaps.push_back(std::move(cmap));
+    levels.push_back(std::move(cg));
+  }
+  std::vector<char> side, cand;
+  i64 best_cut = -1;
+  for (int r = 0; r < 4; r++) {
+    initial_bisect(levels.back(), cand, rng, target_split);
+    refine(levels.back(), cand, flo, fhi);
+    i64 cut = cut_weight(levels.back(), cand);
+    if (best_cut < 0 || cut < best_cut) { best_cut = cut; side = cand; }
+    if (levels.back().n <= 2) break;
+  }
+  for (i64 l = (i64)levels.size() - 2; l >= 0; l--) {
+    std::vector<char> fine(levels[l].n);
+    for (i64 v = 0; v < levels[l].n; v++) fine[v] = side[cmaps[l][v]];
+    side.swap(fine);
+    refine(levels[l], side, flo, fhi);
+  }
+  i64 w0 = 0;
+  for (i64 v = 0; v < n; v++) { part[v] = side[v]; if (!side[v]) w0++; }
+  cut_out[0] = cut_weight(levels[0], side);
+  cut_out[1] = w0;
+  return 0;
 }

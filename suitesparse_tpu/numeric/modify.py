@@ -21,8 +21,8 @@ import numpy as np
 from ..sparse import CSC
 from .simplicial import Factor, SymbolicChol
 
-__all__ = ["updown", "affected_columns", "refactor_partial", "refactor_full",
-           "rowadd", "rowdel"]
+__all__ = ["updown", "updown_k", "updown_solve", "affected_columns",
+           "refactor_partial", "refactor_full", "rowadd", "rowdel"]
 
 
 def updown(F: Factor, sigma: float, w: np.ndarray) -> bool:
@@ -70,6 +70,94 @@ def updown(F: Factor, sigma: float, w: np.ndarray) -> bool:
         # i.e. the etree parent within the factor's pattern
         j = int(rows[0]) if rows.size else -1
     return True
+
+
+def updown_k(F: Factor, sigma: float, W: np.ndarray,
+             y: np.ndarray | None = None) -> bool:
+    """Multiple-rank update/downdate: L L' ± W W' for W of shape (n, k) —
+    the Davis-Hager multiple-rank method (reference
+    ``CHOLMOD/Modify/cholmod_updown.c`` with ``maxrank`` blocking,
+    ``t_cholmod_updown.c`` rank-unrolled templates): ONE ascending pass over
+    the union of the k etree paths, every vector active at a column applies
+    its rank-1 transform there (one pass over each column's data instead of
+    k passes — the blocking the reference does for locality).
+
+    If ``y`` is given (the solution of L y = b, permuted ordering), it is
+    co-updated in the same pass so that L_new y_new = b still holds —
+    the ``cholmod_updown_solve`` analog. Uses the telescoping identity
+    acc[r] += L_old[r,j] y_old[j] - L_new[r,j] y_new[j] over path columns.
+
+    Returns False if a downdate destroys positive definiteness (factor and y
+    left partially modified, like the reference)."""
+    assert F.d is None, "updown operates on LL' factors"
+    L = F.L
+    n = L.ncol
+    W = np.asarray(W, dtype=np.float64)
+    if W.ndim == 1:
+        W = W[:, None]
+    k = W.shape[1]
+    Wc = W.copy()
+    beta = np.ones(k)
+    Lp, Li, Lx = L.indptr, L.indices, L.data
+    # active vectors bucketed by current path column
+    from collections import defaultdict
+    at = defaultdict(list)
+    for v in range(k):
+        nz = np.flatnonzero(Wc[:, v])
+        if nz.size:
+            at[int(nz[0])].append(v)
+    acc = np.zeros(n) if y is not None else None
+    import heapq
+    heap = sorted(at.keys())
+    heapq.heapify(heap)
+    while heap:
+        j = heapq.heappop(heap)
+        vecs = at.pop(j, [])
+        if not vecs:
+            continue
+        p0, p1 = Lp[j], Lp[j + 1]
+        rows = Li[p0 + 1:p1]
+        if y is not None:
+            dj_old = Lx[p0]
+            vals_before = Lx[p0 + 1:p1].copy()
+            yj_old = y[j]
+        for v in vecs:
+            djj = Lx[p0]
+            alpha = Wc[j, v] / djj
+            beta2 = beta[v] * beta[v] + sigma * alpha * alpha
+            if beta2 <= 0.0:
+                return False
+            beta2 = np.sqrt(beta2)
+            gamma = sigma * alpha / (beta2 * beta[v])
+            if sigma > 0:
+                delta = beta[v] / beta2
+                Lx[p0] = delta * djj + gamma * Wc[j, v]
+            else:
+                delta = beta2 / beta[v]
+                Lx[p0] = delta * djj
+            vals = Lx[p0 + 1:p1].copy()
+            w_old = Wc[rows, v].copy()
+            Wc[rows, v] = w_old - alpha * vals
+            Lx[p0 + 1:p1] = delta * vals + gamma * (
+                w_old if sigma > 0 else Wc[rows, v])
+            beta[v] = beta2
+        if y is not None:
+            y[j] = (dj_old * yj_old + acc[j]) / Lx[p0]
+            acc[rows] += vals_before * yj_old - Lx[p0 + 1:p1] * y[j]
+        if rows.size:
+            nxt = int(rows[0])
+            if nxt not in at:
+                heapq.heappush(heap, nxt)
+            at[nxt].extend(vecs)
+    return True
+
+
+def updown_solve(F: Factor, sigma: float, W: np.ndarray,
+                 y: np.ndarray) -> bool:
+    """Rank-k update/downdate with simultaneous solution co-update
+    (cholmod_updown_solve analog): maintains L_new y_new = b for the y that
+    solved L_old y = b. Modifies F and y in place."""
+    return updown_k(F, sigma, W, y=y)
 
 
 def affected_columns(S_parent: np.ndarray, changed_cols) -> np.ndarray:

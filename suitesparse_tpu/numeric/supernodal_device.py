@@ -332,15 +332,26 @@ def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None):
     return jnp.concatenate(panels) if panels else jnp.zeros(0, dtype=dtype)
 
 
+def _clow_data(A: CSC, S: SupernodalSymbolic) -> np.ndarray:
+    """Values of symperm(A, perm).transpose() via a cached position map —
+    the steady-state factor-many path does NO per-call symbolic work."""
+    cache = getattr(S, "_clow_map", None)
+    if cache is None or cache[0] != A.nnz:
+        trace = CSC(A.nrow, A.ncol, A.indptr, A.indices,
+                    np.arange(A.nnz, dtype=np.float64), A.sym)
+        C_low = trace.symperm(S.perm).transpose()
+        S._clow_map = (A.nnz, C_low.data.astype(np.int64))
+    return A.data[S._clow_map[1]]
+
+
 def factorize_device(A: CSC, S: SupernodalSymbolic,
                      config: Config = DEFAULT) -> SupernodalFactor:
     import jax
     import jax.numpy as jnp
 
-    C = A.symperm(S.perm)
-    C_low = C.transpose()
     plan = getattr(S, "_device_plan", None)
     if plan is None:
+        C_low = A.symperm(S.perm).transpose()
         plan = build_plan(S, C_low)
         S._device_plan = plan
         S._device_fn = None
@@ -357,10 +368,11 @@ def factorize_device(A: CSC, S: SupernodalSymbolic,
             S._device_idx = [jnp.asarray(a) for a in plan_arrays(plan)]
         S._device_fn = fn
         S._device_dtype = dtype
+    cdata = _clow_data(A, S)
     if S._device_idx is None:
-        Lxdev = fn(jnp.asarray(C_low.data))
+        Lxdev = fn(jnp.asarray(cdata))
     else:
-        Lxdev = fn(jnp.asarray(C_low.data), S._device_idx)
+        Lxdev = fn(jnp.asarray(cdata), S._device_idx)
 
     # factor stays ON DEVICE in the padded group layout; success check is a
     # scalar reduction (also the synchronization point)

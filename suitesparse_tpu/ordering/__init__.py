@@ -10,7 +10,19 @@ from .amd import amd_order
 
 __all__ = ["amd_order", "colamd_order", "nested_dissection_order",
            "natural_order", "camd_order", "ccolamd_order", "symamd_order",
-           "csymamd_order", "nesdis_order"]
+           "csymamd_order", "nesdis_order", "edge_cut", "partition_kway"]
+
+
+def edge_cut(A: CSC, target_split: float = 0.5, tolerance: float = 0.05,
+             seed: int = 1, config: Config = DEFAULT):
+    from .partition import edge_cut as _e
+    return _e(A, target_split, tolerance, seed, config)
+
+
+def partition_kway(A: CSC, k: int, tolerance: float = 0.05, seed: int = 1,
+                   config: Config = DEFAULT):
+    from .partition import partition_kway as _p
+    return _p(A, k, tolerance, seed, config)
 
 
 def natural_order(A: CSC, config: Config = DEFAULT) -> np.ndarray:

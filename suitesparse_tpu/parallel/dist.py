@@ -70,10 +70,9 @@ def dist_factorize_device(A: CSC, S: SupernodalSymbolic, mesh,
     import jax
     import jax.numpy as jnp
 
-    C = A.symperm(S.perm)
-    C_low = C.transpose()
     plan = getattr(S, "_device_plan", None)
     if plan is None:
+        C_low = A.symperm(S.perm).transpose()
         plan = sd.build_plan(S, C_low)
         S._device_plan = plan
     dtype = jnp.float64 if (config.compute_dtype == "float64"
@@ -86,7 +85,7 @@ def dist_factorize_device(A: CSC, S: SupernodalSymbolic, mesh,
         fn = jax.jit(lambda cd: sd._run_plan(plan, cd, np_idx, dtype, cstr))
         S._dist_cache = (key, fn)
     _, fn = S._dist_cache
-    Lx = np.asarray(fn(jnp.asarray(C_low.data)), dtype=np.float64)
+    Lx = np.asarray(fn(jnp.asarray(sd._clow_data(A, S))), dtype=np.float64)
     minor = S.n
     if not np.all(np.isfinite(Lx)):
         px = np.zeros(plan.lnz)

@@ -35,6 +35,8 @@ __all__ = [
     "eye",
     "residual_norm",
     "invert_permutation",
+    "horzcat",
+    "vertcat",
 ]
 
 
@@ -297,6 +299,83 @@ class CSC:
         sums = np.bincount(A.indices, weights=np.abs(A.data), minlength=A.nrow)
         return float(sums.max()) if A.nrow else 0.0
 
+    def norm_fro(self) -> float:
+        """Frobenius norm (cholmod_norm CHOLMOD_NORM analog family)."""
+        A = self.to_full_storage() if self.sym != 0 else self
+        return float(np.sqrt(np.sum(np.abs(A.data) ** 2)))
+
+    def scale(self, left: np.ndarray | None = None,
+              right: np.ndarray | None = None) -> "CSC":
+        """diag(left) @ A @ diag(right) (cholmod_scale analog; either side
+        may be None). Symmetric inputs require left == right."""
+        A = self
+        if A.sym != 0:
+            assert left is None or right is None or np.array_equal(left, right)
+        data = A.data.copy()
+        if left is not None:
+            data *= np.asarray(left)[A.indices]
+        if right is not None:
+            cols = np.repeat(np.arange(A.ncol, dtype=np.int64),
+                             np.diff(A.indptr))
+            data *= np.asarray(right)[cols]
+        return CSC(A.nrow, A.ncol, A.indptr.copy(), A.indices.copy(), data,
+                   A.sym)
+
+    def submatrix(self, rows: np.ndarray | None,
+                  cols: np.ndarray | None) -> "CSC":
+        """A[rows, cols] with general (possibly permuting/duplicating) index
+        lists (cholmod_submatrix analog). None = all, in order."""
+        A = self.to_full_storage() if self.sym != 0 else self
+        rsel = (np.arange(A.nrow, dtype=np.int64) if rows is None
+                else _as_index(rows))
+        csel = (np.arange(A.ncol, dtype=np.int64) if cols is None
+                else _as_index(cols))
+        # row map: original row -> list positions (handle duplicates via sort)
+        rr, cc, xx = [], [], []
+        order = np.argsort(rsel, kind="stable")
+        rsorted = rsel[order]
+        for out_j, j in enumerate(csel):
+            lo, hi = A.indptr[j], A.indptr[j + 1]
+            ridx = A.indices[lo:hi]
+            loi = np.searchsorted(rsorted, ridx, side="left")
+            hii = np.searchsorted(rsorted, ridx, side="right")
+            for t in range(ridx.size):
+                for k in range(loi[t], hii[t]):
+                    rr.append(order[k])
+                    cc.append(out_j)
+                    xx.append(A.data[lo + t])
+        return from_triplets(rsel.size, csel.size, rr, cc,
+                             np.asarray(xx, dtype=A.data.dtype))
+
+    def symmetry(self, tol: float = 0.0) -> dict:
+        """Structural/numeric symmetry report (cholmod_symmetry analog):
+        returns {'structural': frac, 'numeric': frac, 'hermitian': frac,
+        'nzdiag': count} over the off-diagonal pattern."""
+        A = self.to_full_storage() if self.sym != 0 else self
+        assert A.nrow == A.ncol
+        cols = np.repeat(np.arange(A.ncol, dtype=np.int64), np.diff(A.indptr))
+        diag = A.indices == cols
+        nzdiag = int(np.count_nonzero(diag))
+        off = ~diag
+        r, c, x = A.indices[off], cols[off], A.data[off]
+        if r.size == 0:
+            return {"structural": 1.0, "numeric": 1.0, "hermitian": 1.0,
+                    "nzdiag": nzdiag}
+        key = r * A.ncol + c
+        keyT = c * A.ncol + r
+        order = np.argsort(key)
+        pos = np.searchsorted(key[order], keyT)
+        pos = np.clip(pos, 0, key.size - 1)
+        hit = key[order][pos] == keyT
+        struct = float(np.count_nonzero(hit)) / r.size
+        xv = x[order][pos]
+        num_ok = hit & (np.abs(xv - x) <= tol + tol * np.abs(x))
+        herm_ok = hit & (np.abs(np.conj(xv) - x) <= tol + tol * np.abs(x))
+        return {"structural": struct,
+                "numeric": float(np.count_nonzero(num_ok)) / r.size,
+                "hermitian": float(np.count_nonzero(herm_ok)) / r.size,
+                "nzdiag": nzdiag}
+
     # ---------------- patterns for analysis ----------------
 
     def aat_pattern(self) -> "CSC":
@@ -405,6 +484,30 @@ def _concat_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
     out[0] = srt[0]
     out[e[:-1]] = srt[1:] - (srt[:-1] + lns[:-1] - 1)
     return np.cumsum(out)
+
+
+def horzcat(A: CSC, B: CSC) -> CSC:
+    """[A B] (cholmod_horzcat analog)."""
+    A = A.to_full_storage() if A.sym != 0 else A
+    B = B.to_full_storage() if B.sym != 0 else B
+    assert A.nrow == B.nrow
+    indptr = np.concatenate([A.indptr, A.nnz + B.indptr[1:]])
+    return CSC(A.nrow, A.ncol + B.ncol, indptr,
+               np.concatenate([A.indices, B.indices]),
+               np.concatenate([A.data, B.data]), 0)
+
+
+def vertcat(A: CSC, B: CSC) -> CSC:
+    """[A ; B] (cholmod_vertcat analog)."""
+    A = A.to_full_storage() if A.sym != 0 else A
+    B = B.to_full_storage() if B.sym != 0 else B
+    assert A.ncol == B.ncol
+    ca = np.repeat(np.arange(A.ncol, dtype=np.int64), np.diff(A.indptr))
+    cb = np.repeat(np.arange(B.ncol, dtype=np.int64), np.diff(B.indptr))
+    return from_triplets(A.nrow + B.nrow, A.ncol,
+                         np.concatenate([A.indices, A.nrow + B.indices]),
+                         np.concatenate([ca, cb]),
+                         np.concatenate([A.data, B.data]))
 
 
 def residual_norm(A: CSC, x: np.ndarray, b: np.ndarray) -> float:

@@ -134,3 +134,46 @@ def test_rowadd_roundtrip():
     assert modify.rowdel(F, k)
     assert modify.rowadd(F, k, colk)
     assert np.allclose(F.L.to_dense(), L0, atol=1e-7)
+
+@pytest.mark.parametrize("k,seed", [(2, 7), (4, 8), (8, 9)])
+def test_rank_k_update_matches_refactor(k, seed):
+    A, S, F = make_factor(seed=seed)
+    rng = np.random.default_rng(seed)
+    n = F.L.ncol
+    W = np.zeros((n, k))
+    for v in range(k):
+        W[:, v] = w_in_pattern(F, int(rng.integers(0, 30)), seed * 10 + v)
+    ok = modify.updown_k(F, +1.0, W)
+    assert ok
+    C = A.symperm(S.perm).to_dense() + W @ W.T
+    Lref = np.linalg.cholesky(C)
+    assert np.allclose(F.L.to_dense(), Lref, atol=1e-9)
+
+
+def test_rank_k_downdate_roundtrip():
+    A, S, F = make_factor(seed=10)
+    L0 = F.L.to_dense().copy()
+    rng = np.random.default_rng(11)
+    n = F.L.ncol
+    W = np.column_stack([0.2 * w_in_pattern(F, j, 12 + j) for j in (0, 3, 9)])
+    assert modify.updown_k(F, +1.0, W)
+    assert modify.updown_k(F, -1.0, W)
+    assert np.allclose(F.L.to_dense(), L0, atol=1e-7)
+
+
+@pytest.mark.parametrize("k,seed", [(1, 13), (3, 14)])
+def test_updown_solve_co_update(k, seed):
+    """cholmod_updown_solve analog: L_new y_new = b maintained in one pass."""
+    A, S, F = make_factor(seed=seed)
+    n = F.L.ncol
+    rng = np.random.default_rng(seed)
+    b = rng.standard_normal(n)
+    L0 = F.L.to_dense()
+    y = np.linalg.solve(L0, b)
+    W = np.column_stack(
+        [w_in_pattern(F, int(rng.integers(0, 20)), seed * 7 + v)
+         for v in range(k)])
+    ok = modify.updown_solve(F, +1.0, W, y)
+    assert ok
+    Lnew = F.L.to_dense()
+    assert np.allclose(Lnew @ y, b, atol=1e-8)
