@@ -38,6 +38,16 @@ def main() -> None:
     size = int(os.environ.get("BENCH_SIZE", "30"))
     os.environ.setdefault("SSTPU_PLAN_CONSTS", "1")
     import jax
+    # persistent compilation cache: the first call compiles ~100 XLA stages
+    # + Mosaic kernels (minutes through the remote-compile tunnel); repeat
+    # runs on the same pattern then start in seconds
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/sstpu_jax"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import suitesparse_tpu as sst
     from suitesparse_tpu.io import fixtures
     from suitesparse_tpu.ordering import nested_dissection_order

@@ -96,17 +96,24 @@ def factorize(A: CSC, S: SymbolicChol, config: Config = DEFAULT) -> Factor:
     raise ValueError(f"unsupported factor kind {kind}")
 
 
-def solve(F: Factor, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
-    """x = A \\ b from a Cholesky factor (cholmod_solve CHOLMOD_A analog).
+def solve(F: Factor, b: np.ndarray, config: Config = DEFAULT,
+          sys: str = "A") -> np.ndarray:
+    """x from a Cholesky factor (cholmod_solve analog). ``sys`` selects the
+    reference's nine systems ("A", "LDLt", "LD", "DLt", "L", "Lt", "D", "P",
+    "Pt" — ``cholmod_cholesky.h:179-187``); the default solves Ax=b.
 
     Supernodal factors with enough flops route to the device level-scheduled
     solve (cholmod_super_solve analog); everything else uses the host CSC
     solvers."""
     from .numeric.supernodal import SupernodalFactorAdapter
-    if isinstance(F, SupernodalFactorAdapter) and F.F.S.fl >= 5e6:
+    if (isinstance(F, SupernodalFactorAdapter) and sys == "A"
+            and F.F.S.fl >= 5e6):
         from .numeric.supernodal_solve import solve_device
         return solve_device(F.F, b, config)
-    return chol_solve(F, b)
+    if sys == "A":
+        return chol_solve(F, b)
+    # the adapter exposes L/perm/d, so the system solves work on it directly
+    return simplicial.solve_system(F, b, sys)
 
 
 def cholsol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:

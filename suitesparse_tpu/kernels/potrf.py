@@ -1,21 +1,26 @@
-"""Batched Cholesky (potrf) Pallas kernel for supernodal diagonal blocks.
+"""Batched Cholesky panel factorization (potrf + trsm) Pallas kernel.
 
-Reference analog: the dpotrf calls of ``t_cholmod_super_numeric.c:864`` (and
-the GPU block-hybrid variant ``t_cholmod_gpu.c:876-964``). The supernodal
-plan produces batches of C×C diagonal blocks with C ≤ 128 (bucket ladder);
-XLA's general `cholesky` lowers to a blocked while-loop algorithm tuned for
-LARGE single matrices — for many small tiles an unblocked in-VMEM kernel with
-one grid step per tile avoids that control-flow overhead.
+Reference analog: the dpotrf + dtrsm pair of ``t_cholmod_super_numeric.c``
+(:864 potrf on the nscol x nscol diagonal block, :997 trsm on the
+(nsrow-nscol) x nscol subdiagonal panel) and the GPU block-hybrid variant
+(``t_cholmod_gpu.c:876-964``).
 
-The kernel runs the classic unblocked right-looking update: per column k,
-scale by rsqrt of the pivot and subtract the rank-1 outer product from the
-trailing submatrix — all VPU work on an in-VMEM tile (C ≤ 128 ⇒ the whole
-tile sits in registers/VMEM comfortably).
+Why a kernel: XLA's ``cholesky``/``triangular_solve`` lower to blocked
+While-loop algorithms tuned for one LARGE matrix; at this library's shapes
+(dozens of groups of B x C x C tiles with small C), each call costs ~85 us of
+control-flow overhead — measured 55% of the whole factorization program.
 
-Input tiles must be "prepared" like the device plan prepares them: symmetric
-(full, not just lower) with unit diagonal on padded rows/cols — every tile is
-then positive definite and the kernel needs no pivoting logic. Output is
-lower-triangular with zeros above the diagonal.
+Layout: the batch is the MINOR (128-lane) dimension — tiles are processed as
+(C, C, B) / (RU, C, B) so every VPU op runs B lanes wide (the v1 kernel's
+mistake was lanes = front columns, wasting 128 - C lanes). Per column k:
+
+  potrf:  colw = X[:,k,:] * rsqrt(X[k,k,:]), masked to rows >= k; write;
+          X -= collo * collo^T (outer product only touches rows/cols > k)
+  trsm :  Y[:,k,:] *= rsqrt-pivot; Y -= Y[:,k,:] * collo^T (right-looking)
+
+Inputs must be "prepared" like the device plan prepares them: F11 symmetric
+full with identity on padded rows/cols (every tile then factors without
+pivoting). Outputs: L11 lower-triangular (zeros above), L21 = F21 L11^{-T}.
 """
 
 from __future__ import annotations
@@ -24,70 +29,112 @@ import functools
 
 import numpy as np
 
-__all__ = ["batched_potrf"]
+__all__ = ["batched_potrf", "batched_potrf_trsm"]
 
 
-def _kernel(x_ref, o_ref, *, C: int):
+def _kernel(x11_ref, x21_ref, l11_ref, l21_ref, *, C: int, RU: int):
     import jax
     import jax.numpy as jnp
+    from jax.experimental import pallas as pl
 
-    X = x_ref[0]  # (C, C) tile
-    rows = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    l11_ref[:] = x11_ref[:]
+    if RU > 0:
+        l21_ref[:] = x21_ref[:]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (C, 1, 1), 0)
 
-    rk = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0)
+    def body(k, _):
+        piv = l11_ref[pl.ds(k, 1), pl.ds(k, 1), :]        # (1, 1, B)
+        inv = jax.lax.rsqrt(piv)
+        colk = l11_ref[:, pl.ds(k, 1), :]                 # (C, 1, B)
+        colw = jnp.where(rows >= k, colk * inv, 0.0)
+        l11_ref[:, pl.ds(k, 1), :] = colw
+        collo = jnp.where(rows > k, colw, 0.0)            # (C, 1, B)
+        collo_t = jnp.swapaxes(collo, 0, 1)               # (1, C, B)
+        l11_ref[:] = l11_ref[:] - collo * collo_t
+        if RU > 0:
+            u21k = l21_ref[:, pl.ds(k, 1), :] * inv       # (RU, 1, B)
+            l21_ref[:, pl.ds(k, 1), :] = u21k
+            l21_ref[:] = l21_ref[:] - u21k * collo_t
+        return 0
 
-    def body(k, X):
-        # masked extraction instead of dynamic_slice (Mosaic-lowerable)
-        colsel = (cols == k)
-        pivot = jnp.sum(jnp.where(colsel & (rows == k), X, 0.0))
-        inv = jax.lax.rsqrt(pivot)
-        col = jnp.sum(jnp.where(colsel, X, 0.0), axis=1, keepdims=True) * inv
-        # rank-1 update touches only the trailing submatrix
-        col_lo = jnp.where(rk > k, col, 0.0)
-        X = X - jnp.dot(col_lo, col_lo.T, preferred_element_type=X.dtype)
-        # write column k: scaled entries at rows >= k, zeros above
-        colw = jnp.where(rk >= k, col, 0.0)
-        X = jnp.where(colsel, colw, X)
-        return X
-
-    X = jax.lax.fori_loop(0, C, body, X)
-    o_ref[0] = jnp.where(rows >= cols, X, 0.0)
+    jax.lax.fori_loop(0, C, body, 0)
 
 
 @functools.lru_cache(maxsize=None)
-def _build(C: int, dtype_name: str, interpret: bool):
+def _build(C: int, RU: int, B: int, BB: int, dtype_name: str,
+           interpret: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = jnp.dtype(dtype_name)
+    nb = -(-B // BB)
+    RU1 = max(RU, 1)
 
-    def call(x):
-        B = x.shape[0]
+    def call(x11, x21):
         return pl.pallas_call(
-            functools.partial(_kernel, C=C),
-            grid=(B,),
-            in_specs=[pl.BlockSpec((1, C, C), lambda b: (b, 0, 0))],
-            out_specs=pl.BlockSpec((1, C, C), lambda b: (b, 0, 0)),
-            out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
+            functools.partial(_kernel, C=C, RU=RU),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((C, C, BB), lambda b: (0, 0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RU1, C, BB), lambda b: (0, 0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=[
+                pl.BlockSpec((C, C, BB), lambda b: (0, 0, b),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((RU1, C, BB), lambda b: (0, 0, b),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((C, C, nb * BB), dtype),
+                jax.ShapeDtypeStruct((RU1, C, nb * BB), dtype),
+            ],
             interpret=interpret,
-        )(x)
+        )(x11, x21)
 
-    return jax.jit(call)
+    return call
+
+
+def batched_potrf_trsm(f11, f21=None, interpret: bool | None = None):
+    """(L11, L21) for a batch of prepared SPD panels.
+
+    f11: (B, C, C) symmetric full tiles (identity on padding);
+    f21: (B, RU, C) subdiagonal panels or None.
+    Returns L11 (B, C, C) lower-triangular and L21 (B, RU, C) with
+    L21 L11^T = F21."""
+    import jax
+    import jax.numpy as jnp
+
+    B, C, C2 = f11.shape
+    assert C == C2
+    RU = 0 if f21 is None else f21.shape[1]
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    dtype = f11.dtype
+    # batch block: keep VMEM per block under ~6 MB (double-buffered by Mosaic)
+    per_lane = (2 * C * C + 2 * max(RU, 1) * C) * np.dtype(dtype).itemsize
+    BB = max(128, min(1024, int(6e6 // max(per_lane, 1)) // 128 * 128))
+    nb = -(-B // BB)
+    pad = nb * BB - B
+    x11 = jnp.transpose(f11, (1, 2, 0))
+    x21 = (jnp.transpose(f21, (1, 2, 0)) if RU > 0
+           else jnp.zeros((1, C, B), dtype))
+    if pad:
+        x11 = jnp.pad(x11, ((0, 0), (0, 0), (0, pad)))
+        # padded lanes factor an identity tile (keeps lanes finite)
+        eye = jnp.eye(C, dtype=dtype)[:, :, None]
+        x11 = x11.at[:, :, B:].add(jnp.broadcast_to(eye, (C, C, pad)))
+        x21 = jnp.pad(x21, ((0, 0), (0, 0), (0, pad)))
+    l11t, l21t = _build(C, RU, B, BB, str(dtype), bool(interpret))(x11, x21)
+    L11 = jnp.transpose(l11t[:, :, :B], (2, 0, 1))
+    L21 = (jnp.transpose(l21t[:, :, :B], (2, 0, 1)) if RU > 0 else None)
+    return L11, L21
 
 
 def batched_potrf(x, interpret: bool | None = None):
-    """Cholesky of a batch [B, C, C] of PREPARED SPD tiles (see module doc).
-
-    Uses the Pallas kernel on TPU (or interpreter elsewhere when forced);
-    caller is responsible for choosing this vs ``jnp.linalg.cholesky``."""
-    import jax
-
-    B, C, C2 = x.shape
-    assert C == C2
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-    fn = _build(C, str(x.dtype), bool(interpret))
-    return fn(x)
+    """Cholesky of a batch [B, C, C] of PREPARED SPD tiles (see module doc)."""
+    L11, _ = batched_potrf_trsm(x, None, interpret=interpret)
+    return L11

@@ -32,6 +32,7 @@ __all__ = [
     "usolve",
     "utsolve",
     "chol_solve",
+    "solve_system",
 ]
 
 
@@ -270,7 +271,7 @@ def chol_solve(F: Factor, b: np.ndarray) -> np.ndarray:
     """x = A \\ b given A(p,p) = LL' (or LDL'): x = P'(L' \\ (D \\ (L \\ Pb)))."""
     assert F.ok, f"factorization failed at column {F.minor}"
     pb = np.asarray(b)[F.perm]
-    
+
     y = lsolve(F.L, pb)
     if F.d is not None:
         y = (y.T / F.d).T if y.ndim > 1 else y / F.d
@@ -278,3 +279,50 @@ def chol_solve(F: Factor, b: np.ndarray) -> np.ndarray:
     x = np.empty_like(z)
     x[F.perm] = z
     return x
+
+
+def solve_system(F: Factor, b: np.ndarray, sys: str = "A") -> np.ndarray:
+    """The reference's nine solve systems (cholmod_solve, systems enumerated
+    ``cholmod_cholesky.h:179-187``). For an LL' factor D = I; for an LDL'
+    factor L is unit lower and ``F.d`` holds D.
+
+    sys: "A"    x = P' (L' \\ (D \\ (L \\ (P b))))   — solve Ax=b
+         "LDLt" x = L' \\ (D \\ (L \\ b))           — no permutation
+         "LD"   x = D \\ (L \\ b)
+         "DLt"  x = L' \\ (D \\ b)
+         "L"    x = L \\ b
+         "Lt"   x = L' \\ b
+         "D"    x = D \\ b
+         "P"    x = P b   (permute)
+         "Pt"   x = P' b  (inverse permute)
+    """
+    assert F.ok, f"factorization failed at column {F.minor}"
+    b = np.asarray(b, dtype=np.complex128 if np.iscomplexobj(F.L.data)
+                   or np.iscomplexobj(b) else np.float64)
+    if sys == "A":
+        return chol_solve(F, b)
+    if sys == "P":
+        return b[F.perm]
+    if sys == "Pt":
+        x = np.empty_like(b)
+        x[F.perm] = b
+        return x
+
+    def dsolve(y):
+        if F.d is None:
+            return y
+        return (y.T / F.d).T if y.ndim > 1 else y / F.d
+
+    if sys == "LDLt":
+        return ltsolve(F.L, dsolve(lsolve(F.L, b)))
+    if sys == "LD":
+        return dsolve(lsolve(F.L, b))
+    if sys == "DLt":
+        return ltsolve(F.L, dsolve(b))
+    if sys == "L":
+        return lsolve(F.L, b)
+    if sys == "Lt":
+        return ltsolve(F.L, b)
+    if sys == "D":
+        return dsolve(b)
+    raise ValueError(f"unknown system {sys!r}")

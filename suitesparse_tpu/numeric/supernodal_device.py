@@ -263,6 +263,22 @@ def _unpack_idx(plan: Plan, flat):
     return out
 
 
+def _use_potrf_kernel(dtype, B: int, C: int) -> bool:
+    """Pallas potrf+trsm policy: wins when the batch fills lanes and the
+    column loop is short; XLA's blocked algorithm wins for few big tiles.
+    SSTPU_PALLAS=0 disables, =1 forces (interpret off-TPU is test-only)."""
+    import jax
+    import jax.numpy as jnp
+
+    mode = os.environ.get("SSTPU_PALLAS", "auto")
+    if mode == "0":
+        return False
+    good_shape = B >= 32 and C <= 96 and dtype == jnp.float32
+    if mode == "1":
+        return good_shape
+    return good_shape and jax.devices()[0].platform == "tpu"
+
+
 def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None):
     """Assemble + factor one group; returns (panel_flat, update or None)."""
     import jax
@@ -300,13 +316,25 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None):
     live = (ridx < ncb) & (cidx < ncb)
     eye = jnp.where(ridx == cidx, jnp.asarray(1.0, dtype), 0.0)
     F11m = jnp.where(live, F11s, eye)
-    L11 = jnp.linalg.cholesky(F11m)
-    L11 = jnp.where(live, L11, 0.0)
+    F21 = F[:, C:, :C] if RU > 0 else None
+    if cstr is None and _use_potrf_kernel(dtype, B, C):
+        # fused Pallas potrf+trsm, batch on the 128-lane minor dim — measured
+        # 7-13x over XLA's blocked-While cholesky/triangular_solve at these
+        # shapes (see kernels/potrf.py). Skipped on the sharded (cstr) path:
+        # pallas_call is not GSPMD-partitionable without shard_map.
+        from ..kernels.potrf import batched_potrf_trsm
+        L11, L21 = batched_potrf_trsm(F11m, F21)
+        L11 = jnp.where(live, L11, 0.0)
+    else:
+        L11 = jnp.linalg.cholesky(F11m)
+        L11 = jnp.where(live, L11, 0.0)
+        if RU > 0:
+            L11solve = jnp.where(live, L11, eye)
+            L21 = jax.lax.linalg.triangular_solve(
+                L11solve, F21, left_side=False, lower=True, transpose_a=True)
+        else:
+            L21 = None
     if RU > 0:
-        F21 = F[:, C:, :C]
-        L11solve = jnp.where(live, L11, eye)
-        L21 = jax.lax.linalg.triangular_solve(
-            L11solve, F21, left_side=False, lower=True, transpose_a=True)
         U = F[:, C:, C:] - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2),
                                       preferred_element_type=dtype)
         panel_out = jnp.concatenate([L11, L21], axis=1)

@@ -129,3 +129,38 @@ def test_laplacian_and_arrow():
     S_nat = sst.analyze(Ar, CFG_NATURAL)
     S_amd = sst.analyze(Ar, CFG_SIMPL_LL)
     assert S_amd.lnz < S_nat.lnz / 10
+
+
+def test_solve_system_nine_systems():
+    """cholmod_solve's nine systems (cholmod_cholesky.h:179-187) vs dense."""
+    import suitesparse_tpu as sst
+    from suitesparse_tpu.io import fixtures
+    from suitesparse_tpu.numeric import simplicial
+
+    A = fixtures.random_spd(30, density=0.15, seed=21)
+    S = sst.analyze(A)
+    for kind in ("ll", "ldl"):
+        F = (simplicial.chol_up(A, S) if kind == "ll"
+             else simplicial.ldl_up(A, S))
+        n = A.ncol
+        rng = np.random.default_rng(5)
+        b = rng.standard_normal(n)
+        L = F.L.to_dense()
+        D = np.diag(F.d) if F.d is not None else np.eye(n)
+        P = np.eye(n)[F.perm]          # Pb = b[perm]
+        Ad = A.to_dense()  # to_dense reflects the stored triangle
+        cases = {
+            "A": np.linalg.solve(Ad, b),
+            "LDLt": np.linalg.solve(L @ D @ L.T, b),
+            "LD": np.linalg.solve(L @ D, b),
+            "DLt": np.linalg.solve(D @ L.T, b),
+            "L": np.linalg.solve(L, b),
+            "Lt": np.linalg.solve(L.T, b),
+            "D": np.linalg.solve(D, b),
+            "P": P @ b,
+            "Pt": P.T @ b,
+        }
+        for sysname, want in cases.items():
+            got = simplicial.solve_system(F, b, sysname)
+            np.testing.assert_allclose(got, want, atol=1e-8,
+                                       err_msg=f"{kind}:{sysname}")
