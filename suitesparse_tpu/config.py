@@ -92,6 +92,11 @@ class Config:
     use_pallas: bool = True          # custom kernels where beneficial; else pure XLA
     compute_dtype: str = "float32"   # numeric dtype on device
     accum_dtype: str = "float32"     # accumulation dtype
+    # store child update matrices in bfloat16 (halves extend-add traffic,
+    # doubles MXU rate for the placement matmuls; fronts/panels stay fp32,
+    # accumulation is fp32). Pair with solve-side iterative refinement
+    # (solve_refined) to recover fp32-class residuals.
+    update_dtype: str = "float32"
     precision: str = "highest"       # jax.lax.Precision for MXU matmuls
 
     # ----- diagnostics -----

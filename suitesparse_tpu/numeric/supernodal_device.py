@@ -279,11 +279,14 @@ def _use_potrf_kernel(dtype, B: int, C: int) -> bool:
     return good_shape and jax.devices()[0].platform == "tpu"
 
 
-def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None):
+def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
+                   udtype=None):
     """Assemble + factor one group; returns (panel_flat, update or None)."""
     import jax
     import jax.numpy as jnp
 
+    if udtype is None:
+        udtype = dtype
     B, R, C = g.B, g.R, g.C
     RU = R - C
     # original entries: one sorted unique scatter of this group's nnz(A)
@@ -293,15 +296,16 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None):
                                  indices_are_sorted=True, unique_indices=True)
     F = F.reshape(B, R, R)
 
-    # extend-add: child update blocks placed via one-hot matmuls (MXU), then
+    # extend-add: child update blocks placed via one-hot matmuls (MXU, fp32
+    # accumulation — udtype=bfloat16 halves the update traffic), then
     # block-granular accumulation into parent slots
     for pc, (src, dst, idx) in zip(g.pairs, ix["pairs"]):
         Usrc = updates[(pc.src_level, pc.src_gi)]        # (B_c, RU_c, RU_c)
         child = Usrc[src]                                # contiguous row gather
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, pc.RU_c), 1)
-        P = (iota == idx[:, None, :]).astype(dtype)      # (np, R, RU_c)
+        P = (iota == idx[:, None, :]).astype(child.dtype)  # (np, R, RU_c)
         half = jnp.matmul(P, child, preferred_element_type=dtype)
-        contrib = jnp.matmul(half, jnp.swapaxes(P, 1, 2),
+        contrib = jnp.matmul(half.astype(child.dtype), jnp.swapaxes(P, 1, 2),
                              preferred_element_type=dtype)
         F = F.at[dst].add(contrib, indices_are_sorted=True)
 
@@ -337,6 +341,7 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None):
     if RU > 0:
         U = F[:, C:, C:] - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2),
                                       preferred_element_type=dtype)
+        U = U.astype(udtype)
         panel_out = jnp.concatenate([L11, L21], axis=1)
     else:
         U = None
@@ -344,7 +349,7 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None):
     return panel_out.reshape(-1), U
 
 
-def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None):
+def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None, udtype=None):
     """The jitted numeric phase: returns the PADDED device factor buffer."""
     import jax.numpy as jnp
 
@@ -353,7 +358,8 @@ def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None):
     panels = []
     for d, glist in enumerate(plan.groups):
         for gi, (g, ix) in enumerate(zip(glist, idx[d])):
-            pflat, U = _group_compute(g, ix, Cdata, updates, dtype, cstr)
+            pflat, U = _group_compute(g, ix, Cdata, updates, dtype, cstr,
+                                      udtype)
             panels.append(pflat)
             if U is not None:
                 updates[(d, gi)] = U
@@ -385,17 +391,20 @@ def factorize_device(A: CSC, S: SupernodalSymbolic,
         S._device_fn = None
     dtype = jnp.float64 if (config.compute_dtype == "float64"
                             and jax.config.jax_enable_x64) else jnp.float32
+    udtype = (jnp.bfloat16 if config.update_dtype == "bfloat16" else dtype)
     fn = getattr(S, "_device_fn", None)
-    if fn is None or getattr(S, "_device_dtype", None) != dtype:
+    if fn is None or getattr(S, "_device_dtype", None) != (dtype, udtype):
         if os.environ.get("SSTPU_PLAN_CONSTS", "1") == "1":
             np_idx = plan_arrays(plan)
-            fn = jax.jit(lambda cd: _run_plan(plan, cd, np_idx, dtype))
+            fn = jax.jit(lambda cd: _run_plan(plan, cd, np_idx, dtype,
+                                              udtype=udtype))
             S._device_idx = None
         else:
-            fn = jax.jit(lambda cd, idx: _run_plan(plan, cd, idx, dtype))
+            fn = jax.jit(lambda cd, idx: _run_plan(plan, cd, idx, dtype,
+                                                   udtype=udtype))
             S._device_idx = [jnp.asarray(a) for a in plan_arrays(plan)]
         S._device_fn = fn
-        S._device_dtype = dtype
+        S._device_dtype = (dtype, udtype)
     cdata = _clow_data(A, S)
     if S._device_idx is None:
         Lxdev = fn(jnp.asarray(cdata))

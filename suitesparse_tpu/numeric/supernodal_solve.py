@@ -28,7 +28,7 @@ from ..config import Config, DEFAULT
 from ..symbolic.supernodes import SupernodalSymbolic
 from .supernodal import SupernodalFactor
 
-__all__ = ["build_solve_plan", "solve_device"]
+__all__ = ["build_solve_plan", "solve_device", "solve_refined"]
 
 
 @dataclasses.dataclass
@@ -157,6 +157,19 @@ def _solve_fn(plan: SolvePlan, Lx, b, dtype):
                 L11, yc, left_side=True, lower=True, transpose_a=True)
             y = y.at[g.col_idx].set(xc.reshape(g.B * g.C, nrhs))
     return y[:n]
+
+
+def solve_refined(F: SupernodalFactor, A, b: np.ndarray, iters: int = 2,
+                  config: Config = DEFAULT) -> np.ndarray:
+    """Device solve + host-fp64-residual iterative refinement (the UMFPACK
+    IRSTEP pattern, ``umfpack_solve.c:102``, applied to Cholesky): recovers
+    fp64-class residuals from an fp32 — or bfloat16-update — factor."""
+    b = np.asarray(b, dtype=np.float64)
+    x = solve_device(F, b, config)
+    for _ in range(max(iters, 0)):
+        r = b - A.matvec(x)
+        x = x + solve_device(F, r, config)
+    return x
 
 
 def solve_device(F: SupernodalFactor, b: np.ndarray,

@@ -85,7 +85,12 @@ def dist_factorize_device(A: CSC, S: SupernodalSymbolic, mesh,
         fn = jax.jit(lambda cd: sd._run_plan(plan, cd, np_idx, dtype, cstr))
         S._dist_cache = (key, fn)
     _, fn = S._dist_cache
-    Lx = np.asarray(fn(jnp.asarray(sd._clow_data(A, S))), dtype=np.float64)
+    # replicated device_put is multi-process legal (multihost.py recipe);
+    # single-process it is equivalent to a plain transfer
+    from jax.sharding import NamedSharding, PartitionSpec
+    cdev = jax.device_put(sd._clow_data(A, S),
+                          NamedSharding(mesh, PartitionSpec()))
+    Lx = np.asarray(fn(cdev), dtype=np.float64)
     minor = S.n
     if not np.all(np.isfinite(Lx)):
         px = np.zeros(plan.lnz)

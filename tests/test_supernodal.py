@@ -155,3 +155,25 @@ def test_device_solve_matches_host():
     assert np.allclose(xd, Xh[:, 0], atol=1e-12)
     for k in range(3):
         assert residual_norm(A, Xd[:, k], B[:, k]) < 1e-12
+
+
+def test_bf16_updates_with_refinement():
+    """bfloat16 child-update storage + iterative refinement (config
+    update_dtype) — residual recovered to fp32-class."""
+    import suitesparse_tpu as sst
+    from suitesparse_tpu.numeric import supernodal_solve
+
+    A = fixtures.laplacian_3d(7)
+    S = analyze_supernodal(A, amd_order(A))
+    cfg = sst.DEFAULT.replace(update_dtype="bfloat16")
+    F = supernodal_device.factorize_device(A, S, cfg)
+    assert F.ok
+    n = A.ncol
+    b = 1.0 + np.arange(n) / n
+    x0 = supernodal_solve.solve_device(F, b, cfg)
+    r0 = sst.residual_norm(A, x0, b)
+    x = supernodal_solve.solve_refined(F, A, b, iters=2, config=cfg)
+    r = sst.residual_norm(A, x, b)
+    assert r0 < 1e-1            # bf16 updates alone: coarse but sane
+    assert r < 1e-5             # refinement recovers accuracy
+    assert r <= r0
