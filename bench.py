@@ -35,7 +35,7 @@ BASELINE_CPU_GFLOPS = 190.0
 
 
 def main() -> None:
-    size = int(os.environ.get("BENCH_SIZE", "30"))
+    size = int(os.environ.get("BENCH_SIZE", "40"))
     os.environ.setdefault("SSTPU_PLAN_CONSTS", "1")
     import jax
     # persistent compilation cache: the first call compiles ~100 XLA stages

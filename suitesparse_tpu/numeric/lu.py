@@ -26,7 +26,7 @@ from ..ordering.btf import BTF, btf_order
 from ..ordering.amd import amd_order
 
 __all__ = ["LUSymbolic", "LUNumeric", "analyze_lu", "factor_lu", "refactor_lu",
-           "solve_lu", "lusol"]
+           "solve_lu", "lusol", "extract_lu", "sort_lu"]
 
 
 @dataclasses.dataclass
@@ -375,6 +375,61 @@ def refactor_lu(A: CSC, N: LUNumeric, config: Config = DEFAULT) -> LUNumeric:
                         ApermF.data[off_sel])
     return LUNumeric(S=S, blocks=N.blocks, diag=diag, rowperm=N.rowperm,
                      Rs=Rs, Off=Off, singular_col=singular_col)
+
+
+def extract_lu(N: LUNumeric):
+    """Materialize the factorization as global CSC matrices (klu_extract
+    analog, ``klu_extract.c``): returns (L, U, F_off, P, Q, Rs) such that
+
+        diag(1/Rs[P]) @ A[P, Q] = (L @ U + F_off)
+
+    where L is unit-lower with the block-diagonal L factors, U upper with the
+    U factors and 1x1 pivots, and F_off holds the off-diagonal (above-block)
+    entries in factor coordinates."""
+    assert N.ok
+    from ..sparse import from_triplets
+    S = N.S
+    n = S.n
+    rL, cL, xL = [np.arange(n)], [np.arange(n)], [np.ones(n)]
+    rU, cU, xU = [], [], []
+    for k in range(S.btf.nblocks):
+        k1, k2 = int(S.r[k]), int(S.r[k + 1])
+        nk = k2 - k1
+        if nk == 1:
+            rU.append([k1]); cU.append([k1]); xU.append([N.diag[k1]])
+            continue
+        blu = N.blocks[k]
+        cols = np.repeat(np.arange(nk), np.diff(blu.Lp))
+        off = blu.Li != cols                # drop unit diagonal duplicates
+        rL.append(k1 + blu.Li[off]); cL.append(k1 + cols[off])
+        xL.append(blu.Lx[off])
+        colsU = np.repeat(np.arange(nk), np.diff(blu.Up))
+        rU.append(k1 + blu.Ui); cU.append(k1 + colsU); xU.append(blu.Ux)
+    cat = np.concatenate
+    dt = N.diag.dtype
+    L = from_triplets(n, n, cat([np.asarray(a) for a in rL]),
+                      cat([np.asarray(a) for a in cL]),
+                      cat([np.asarray(a, dtype=dt) for a in xL]))
+    U = from_triplets(n, n, cat([np.asarray(a) for a in rU]),
+                      cat([np.asarray(a) for a in cU]),
+                      cat([np.asarray(a, dtype=dt) for a in xU]))
+    return L, U, N.Off, N.rowperm, S.colperm, N.Rs
+
+
+def sort_lu(N: LUNumeric) -> LUNumeric:
+    """Sort row indices within every factor column in place (klu_sort
+    analog) — the factors come out of Gilbert-Peierls in topological order."""
+    for blu in N.blocks:
+        if blu is None:
+            continue
+        for (Ip, Ii, Ix) in ((blu.Lp, blu.Li, blu.Lx),
+                             (blu.Up, blu.Ui, blu.Ux)):
+            for j in range(Ip.size - 1):
+                lo, hi = Ip[j], Ip[j + 1]
+                o = np.argsort(Ii[lo:hi], kind="stable")
+                Ii[lo:hi] = Ii[lo:hi][o]
+                Ix[lo:hi] = Ix[lo:hi][o]
+    return N
 
 
 def solve_lu(N: LUNumeric, b: np.ndarray) -> np.ndarray:

@@ -22,7 +22,8 @@ from ..sparse import CSC
 from .simplicial import Factor, SymbolicChol
 
 __all__ = ["updown", "updown_k", "updown_solve", "affected_columns",
-           "refactor_partial", "refactor_full", "rowadd", "rowdel"]
+           "refactor_partial", "refactor_full", "resymbol", "rowadd",
+           "rowdel"]
 
 
 def updown(F: Factor, sigma: float, w: np.ndarray) -> bool:
@@ -238,6 +239,53 @@ def _entry(L: CSC, i: int, j: int) -> float:
 def refactor_full(A: CSC, S: SymbolicChol, F: Factor) -> Factor:
     """Full numeric refactorization with the existing pattern (all columns)."""
     return refactor_partial(A, S, F, np.arange(S.n, dtype=np.int64))
+
+
+def resymbol(A: CSC, F: Factor) -> Factor:
+    """Recompute the factor's symbolic pattern for (possibly pruned) A and
+    drop entries outside it, keeping values of surviving positions
+    (cholmod_resymbol analog): after updates/rowdel leave explicit zeros or
+    A lost entries, this shrinks the factor back to the tight pattern."""
+    from .simplicial import symbolic_cholesky
+    from ..sparse import CSC as _CSC
+
+    S2 = symbolic_cholesky(A, F.perm)
+    n = S2.n
+    L = F.L
+    # new row patterns via etree reach (cs_ereach row-of-L semantics), then
+    # transpose into per-column lists
+    from ..symbolic.etree import ereach
+    C = A.symperm(F.perm)
+    mark = np.full(n, -1, dtype=np.int64)
+    buf = np.empty(n, dtype=np.int64)
+    rows_of_col: list = [[j] for j in range(n)]
+    for k in range(n):
+        top = ereach(C, k, S2.parent, mark, buf)
+        for j in buf[top:n]:
+            rows_of_col[int(j)].append(k)
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    nnz_new = sum(len(r) for r in rows_of_col)
+    indices = np.empty(nnz_new, dtype=np.int64)
+    data = np.zeros(nnz_new, dtype=L.data.dtype)
+    pos = 0
+    for j in range(n):
+        rr = np.asarray(sorted(rows_of_col[j]), dtype=np.int64)
+        indptr[j] = pos
+        indices[pos:pos + rr.size] = rr
+        # copy old values at positions that survive
+        lo, hi = L.indptr[j], L.indptr[j + 1]
+        old_rows = L.indices[lo:hi]
+        where = np.searchsorted(old_rows, rr)
+        where = np.clip(where, 0, max(hi - lo - 1, 0))
+        hit = (hi > lo) and old_rows.size > 0
+        if hit:
+            match = old_rows[where] == rr
+            data[pos:pos + rr.size] = np.where(match, L.data[lo:hi][where],
+                                               0.0)
+        pos += rr.size
+    indptr[n] = pos
+    L2 = _CSC(n, n, indptr, indices, data, 0)
+    return Factor(L=L2, perm=F.perm, d=F.d, minor=F.minor)
 
 
 def _zero_row_entries(L: CSC, k: int) -> None:

@@ -131,3 +131,26 @@ def test_reference_unsym_fixtures(name):
     x = sst.lusol(A, b)
     resid = residual_norm(A, x, b)
     assert resid < 1e-10, f"{name}: residual {resid}"
+
+
+def test_extract_lu_identity():
+    """klu_extract analog: diag(1/Rs[P]) A[P,Q] == L@U + F_off."""
+    import numpy as np
+    from suitesparse_tpu.io import fixtures
+    from suitesparse_tpu.numeric import lu
+
+    A = fixtures.load_demo("west0067")
+    S = lu.analyze_lu(A)
+    N = lu.factor_lu(A, S)
+    assert N.ok
+    lu.sort_lu(N)
+    L, U, Off, P, Q, Rs = lu.extract_lu(N)
+    Ad = A.to_dense()
+    lhs = (Ad[np.ix_(P, Q)].T / Rs[P]).T
+    rhs = L.to_dense() @ U.to_dense() + Off.to_dense()
+    np.testing.assert_allclose(lhs, rhs, atol=1e-10)
+    # sorted factors: strictly ascending row indices per column
+    for M in (L, U):
+        for j in range(M.ncol):
+            rr = M.indices[M.indptr[j]:M.indptr[j + 1]]
+            assert np.all(np.diff(rr) > 0)

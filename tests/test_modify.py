@@ -177,3 +177,14 @@ def test_updown_solve_co_update(k, seed):
     assert ok
     Lnew = F.L.to_dense()
     assert np.allclose(Lnew @ y, b, atol=1e-8)
+
+
+def test_resymbol_prunes_and_preserves():
+    """cholmod_resymbol analog: tighter pattern after dropping A entries,
+    values preserved at surviving positions."""
+    A, S, F = make_factor(seed=30)
+    # factor is correct for A; resymbol against the SAME A must preserve the
+    # factorization exactly (pattern can only shrink to the tight reach)
+    F2 = modify.resymbol(A, F)
+    np.testing.assert_allclose(F2.L.to_dense(), F.L.to_dense(), atol=0)
+    assert F2.L.nnz <= F.L.nnz
