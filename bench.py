@@ -35,7 +35,7 @@ BASELINE_CPU_GFLOPS = 190.0
 
 
 def main() -> None:
-    size = int(os.environ.get("BENCH_SIZE", "40"))
+    size = int(os.environ.get("BENCH_SIZE", "50"))
     os.environ.setdefault("SSTPU_PLAN_CONSTS", "1")
     import jax
     # persistent compilation cache: the first call compiles ~100 XLA stages
@@ -98,6 +98,18 @@ def main() -> None:
     resid = sst.residual_norm(A, x, b)
     assert resid < 1e-2, f"residual {resid} out of range"  # fp32 factor
 
+    # solve throughput (multifrontal solve, same pipelined methodology)
+    _, sfn = S._solve_cache
+    pbp = jnp.asarray(np.concatenate([b[S.perm].reshape(-1, 1),
+                                      np.zeros((1, 1))]))
+    _ = float(jnp.sum(sfn(F.Lx, pbp)))
+    t_solve = float("inf")
+    for _trial in range(2):
+        t0 = time.time()
+        souts = [sfn(F.Lx, pbp) for _ in range(K)]
+        _ = float(jnp.sum(sum(jnp.sum(o) for o in souts)))
+        t_solve = min(t_solve, (time.time() - t0) / K)
+
     gflops = S.fl / t_factor / 1e9
     print(json.dumps({
         "metric": "supernodal_cholesky_fp32_gflops",
@@ -110,6 +122,7 @@ def main() -> None:
         "flops": S.fl,
         "nsuper": S.nsuper,
         "factor_s": round(t_factor, 4),
+        "solve_s": round(t_solve, 4),
         "latency_s": round(t_latency, 4),
         "pipeline_depth": K,
         "first_call_s": round(t_first, 2),

@@ -87,13 +87,19 @@ def factorize(A: CSC, S: SymbolicChol, config: Config = DEFAULT) -> Factor:
             # Hermitian input routes to LL^H
             kind = FactorKind.SIMPLICIAL_LL
     if kind is FactorKind.SIMPLICIAL_LL:
-        return simplicial.chol_up(A, S)
-    if kind is FactorKind.SIMPLICIAL_LDL:
-        return simplicial.ldl_up(A, S, dbound=config.dbound)
-    if kind is FactorKind.SUPERNODAL_LL:
+        F = simplicial.chol_up(A, S)
+    elif kind is FactorKind.SIMPLICIAL_LDL:
+        F = simplicial.ldl_up(A, S, dbound=config.dbound)
+    elif kind is FactorKind.SUPERNODAL_LL:
         from .numeric import supernodal
-        return supernodal.factorize(A, S, config)
-    raise ValueError(f"unsupported factor kind {kind}")
+        F = supernodal.factorize(A, S, config)
+    else:
+        raise ValueError(f"unsupported factor kind {kind}")
+    if not F.ok and config.error_handler is not None:
+        # reference error_handler callback contract (cholmod_core.h:565-573)
+        config.error_handler(
+            f"factorization not positive definite at column {F.minor}")
+    return F
 
 
 def solve(F: Factor, b: np.ndarray, config: Config = DEFAULT,

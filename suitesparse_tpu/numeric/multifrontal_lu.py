@@ -33,7 +33,80 @@ from ..sparse import CSC, from_triplets, invert_permutation
 from ..symbolic.supernodes import SupernodalSymbolic, analyze_supernodal
 
 __all__ = ["MFLUFactor", "analyze_mflu", "factorize_lu_host", "solve_mflu",
-           "mflusol"]
+           "mflusol", "find_singletons"]
+
+
+def find_singletons(A: CSC):
+    """Row/column singleton detection (UMFPACK ``umf_singletons.c``,
+    called from ``umfpack_qsymbolic.c:1081``): repeatedly peel columns with a
+    single live entry and rows with a single live entry; the pivots need no
+    numeric factorization work. Returns (pivots, rows_left, cols_left) where
+    pivots is an ordered list of (row, col).
+
+    On the KLU path the BTF pre-permutation subsumes this (every singleton
+    becomes a 1x1 diagonal block); this utility serves the UMFPACK-style
+    unsymmetric analysis and structural diagnostics."""
+    Ag = A.to_full_storage() if A.sym != 0 else A
+    m, n = Ag.nrow, Ag.ncol
+    cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(Ag.indptr))
+    rows = Ag.indices
+    live_r = np.ones(m, dtype=bool)
+    live_c = np.ones(n, dtype=bool)
+    ent_live = np.ones(rows.size, dtype=bool)
+    rdeg = np.bincount(rows, minlength=m).astype(np.int64)
+    cdeg = np.bincount(cols, minlength=n).astype(np.int64)
+    # entry lists per row/col for peeling
+    by_row = [[] for _ in range(m)]
+    by_col = [[] for _ in range(n)]
+    for t in range(rows.size):
+        by_row[rows[t]].append(t)
+        by_col[cols[t]].append(t)
+    from collections import deque
+    q = deque()
+    for c in range(n):
+        if cdeg[c] == 1:
+            q.append(("c", c))
+    for r in range(m):
+        if rdeg[r] == 1:
+            q.append(("r", r))
+    pivots = []
+
+    def kill_entry(t):
+        if not ent_live[t]:
+            return
+        ent_live[t] = False
+        r, c = rows[t], cols[t]
+        rdeg[r] -= 1
+        cdeg[c] -= 1
+        if live_r[r] and rdeg[r] == 1:
+            q.append(("r", r))
+        if live_c[c] and cdeg[c] == 1:
+            q.append(("c", c))
+
+    def eliminate(r, c):
+        pivots.append((int(r), int(c)))
+        live_r[r] = False
+        live_c[c] = False
+        for t in by_row[r]:
+            kill_entry(t)
+        for t in by_col[c]:
+            kill_entry(t)
+
+    while q:
+        kind, i = q.popleft()
+        if kind == "c":
+            if not live_c[i] or cdeg[i] != 1:
+                continue
+            t = next(t for t in by_col[i] if ent_live[t])
+            if live_r[rows[t]]:
+                eliminate(rows[t], i)
+        else:
+            if not live_r[i] or rdeg[i] != 1:
+                continue
+            t = next(t for t in by_row[i] if ent_live[t])
+            if live_c[cols[t]]:
+                eliminate(i, cols[t])
+    return pivots, np.flatnonzero(live_r), np.flatnonzero(live_c)
 
 
 @dataclasses.dataclass

@@ -66,3 +66,27 @@ def test_mflu_factor_many():
     b = np.ones(150)
     x2 = mflu_device.solve_mflu_device(F2, b)
     assert residual_norm(A2, x2, b) < 1e-10
+
+
+def test_find_singletons():
+    """umf_singletons analog: triangular matrices peel completely; a dense
+    block resists."""
+    import numpy as np
+    from suitesparse_tpu.sparse import from_dense
+    from suitesparse_tpu.numeric.multifrontal_lu import find_singletons
+
+    n = 6
+    rng = np.random.default_rng(0)
+    T = np.triu(rng.standard_normal((n, n))) + 3 * np.eye(n)
+    piv, rl, cl = find_singletons(from_dense(T))
+    assert len(piv) == n and rl.size == 0 and cl.size == 0
+    # elimination order is valid: each pivot col had a single live entry
+    # 2x2 dense core + singleton wings
+    D = np.zeros((4, 4))
+    D[0, 0] = 1.0          # col 0 singleton
+    D[1:3, 1:3] = [[2.0, 1.0], [1.0, 2.0]]
+    D[3, 3] = 1.0
+    D[0, 2] = 5.0          # extra entry in row 0
+    piv, rl, cl = find_singletons(from_dense(D))
+    assert (0, 0) in piv and (3, 3) in piv
+    assert set(rl) == {1, 2} and set(cl) == {1, 2}
