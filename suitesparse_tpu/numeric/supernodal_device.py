@@ -91,9 +91,60 @@ class Plan:
     groups: list           # groups[level] = [GroupPlan, ...]
     lnz: int               # CHOLMOD px-layout size (host materialization)
     dev_size: int          # total device factor size (sum of B*R*C)
-    # host-side materialization map: Lx_px[px_dst] = Lx_dev[px_src]
-    px_src: np.ndarray
-    px_dst: np.ndarray
+    _S: object = None      # symbolic handle for lazy map construction
+    _px: tuple | None = None
+
+    # host-side materialization map Lx_px[px_dst] = Lx_dev[px_src] — built
+    # LAZILY (it is lnz-sized; only host materialization needs it, and
+    # building it eagerly dominated plan time on big problems)
+    def px_maps(self):
+        if self._px is None:
+            self._px = _build_px_maps(self._S, self)
+        return self._px
+
+    @property
+    def px_src(self):
+        return self.px_maps()[0]
+
+    @property
+    def px_dst(self):
+        return self.px_maps()[1]
+
+
+def _build_px_maps(S, plan):
+    """px-layout materialization maps, fully vectorized over all lnz entries
+    (per-supernode Python loops took minutes at audikw-class sizes)."""
+    # per-supernode metadata in group order
+    s_all, base_all, C_all = [], [], []
+    for glist in plan.groups:
+        for g in glist:
+            s_all.append(g.snodes)
+            base_all.append(g.panel_base
+                            + np.arange(g.B, dtype=np.int64) * g.R * g.C)
+            C_all.append(np.full(g.B, g.C, dtype=np.int64))
+    if not s_all:
+        e = np.empty(0, np.int64)
+        return e, e
+    s_all = np.concatenate(s_all)
+    base_all = np.concatenate(base_all)
+    C_all = np.concatenate(C_all)
+    nr_s = np.array([S.nrows(int(s)) for s in s_all], dtype=np.int64)
+    nc_s = S.super_first[s_all + 1] - S.super_first[s_all]
+    Lpx_s = S.Lpx[s_all]
+
+    # per-column vectors (total ncols = n): local col index k, owner supernode
+    k_col = _ranges(np.zeros(s_all.size, np.int64), nc_s)     # 0..nc_s-1 runs
+    owner = np.repeat(np.arange(s_all.size, dtype=np.int64), nc_s)
+    len_col = nr_s[owner] - k_col                              # entries per col
+    # per-entry vectors (total = sum of panel triangles)
+    rp = _ranges(k_col, nr_s[owner])                           # k..nr-1 runs
+    kk = np.repeat(k_col, len_col)
+    own_e = np.repeat(owner, len_col)
+    nc_e = nc_s[own_e]
+    rloc = np.where(rp < nc_e, rp, C_all[own_e] + (rp - nc_e))
+    src = base_all[own_e] + rloc * C_all[own_e] + kk
+    dst = Lpx_s[own_e] + kk * nr_s[own_e] + rp
+    return src, dst
 
 
 def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
@@ -131,27 +182,13 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
         level_layouts.append(placed)
 
     groups_all = []
-    px_src_parts, px_dst_parts = [], []
     for placed in level_layouts:
         gplans = []
         for (R, C, ss, pbase) in placed:
-            g = _build_group(S, C_low, ss, R, C, place, children, pbase)
-            gplans.append(g)
-            # px materialization map
-            for b, s in enumerate(ss):
-                nr, nc = S.nrows(s), S.ncols(s)
-                kk = np.repeat(np.arange(nc, dtype=np.int64),
-                               nr - np.arange(nc))
-                rp = _ranges(np.arange(nc, dtype=np.int64),
-                             np.full(nc, nr, np.int64))
-                rloc = np.where(rp < nc, rp, C + (rp - nc))
-                px_src_parts.append(pbase + b * R * C + rloc * C + kk)
-                px_dst_parts.append(S.Lpx[s] + kk * nr + rp)
+            gplans.append(_build_group(S, C_low, ss, R, C, place, children,
+                                       pbase))
         groups_all.append(gplans)
-    cat = (lambda p: np.concatenate(p).astype(np.int64) if p
-           else np.empty(0, np.int64))
-    return Plan(groups=groups_all, lnz=S.lnz, dev_size=panel_off,
-                px_src=cat(px_src_parts), px_dst=cat(px_dst_parts))
+    return Plan(groups=groups_all, lnz=S.lnz, dev_size=panel_off, _S=S)
 
 
 def _build_group(S: SupernodalSymbolic, C_low: CSC, ss, R, C, place,
