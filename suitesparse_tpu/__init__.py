@@ -65,11 +65,18 @@ def analyze(A: CSC, config: Config = DEFAULT,
             perm: np.ndarray | None = None) -> SymbolicChol:
     """Symbolic Cholesky analysis: ordering + etree + counts
     (cholmod_analyze analog)."""
+    from .stats import timed, GLOBAL_STATS
     if config.check_inputs:
         assert A.sym == 1, "analyze expects upper-stored symmetric (sym=1)"
-    if perm is None:
-        perm = _fill_reducing_perm(A, config)
-    return simplicial.symbolic_cholesky(A, perm)
+    with timed("analyze"):
+        if perm is None:
+            perm = _fill_reducing_perm(A, config)
+        S = simplicial.symbolic_cholesky(A, perm)
+    if config.record_stats:
+        GLOBAL_STATS.record("lnz", S.lnz)
+        GLOBAL_STATS.record("fl", S.fl)
+        GLOBAL_STATS.record("anz", A.nnz)
+    return S
 
 
 def factorize(A: CSC, S: SymbolicChol, config: Config = DEFAULT) -> Factor:
@@ -77,6 +84,7 @@ def factorize(A: CSC, S: SymbolicChol, config: Config = DEFAULT) -> Factor:
 
     Chooses simplicial vs supernodal per ``config.factor_kind`` (AUTO uses the
     reference's flops-per-nnz switch, reference ``cholmod_core.h:456-463``)."""
+    from .stats import timed
     kind = config.factor_kind
     if kind is FactorKind.AUTO:
         ratio = S.fl / max(S.lnz, 1)
@@ -86,15 +94,16 @@ def factorize(A: CSC, S: SymbolicChol, config: Config = DEFAULT) -> Factor:
             # LDL' is real-only (like the reference's supernodal LDL' gap);
             # Hermitian input routes to LL^H
             kind = FactorKind.SIMPLICIAL_LL
-    if kind is FactorKind.SIMPLICIAL_LL:
-        F = simplicial.chol_up(A, S)
-    elif kind is FactorKind.SIMPLICIAL_LDL:
-        F = simplicial.ldl_up(A, S, dbound=config.dbound)
-    elif kind is FactorKind.SUPERNODAL_LL:
-        from .numeric import supernodal
-        F = supernodal.factorize(A, S, config)
-    else:
-        raise ValueError(f"unsupported factor kind {kind}")
+    with timed("factorize"):
+        if kind is FactorKind.SIMPLICIAL_LL:
+            F = simplicial.chol_up(A, S)
+        elif kind is FactorKind.SIMPLICIAL_LDL:
+            F = simplicial.ldl_up(A, S, dbound=config.dbound)
+        elif kind is FactorKind.SUPERNODAL_LL:
+            from .numeric import supernodal
+            F = supernodal.factorize(A, S, config)
+        else:
+            raise ValueError(f"unsupported factor kind {kind}")
     if not F.ok and config.error_handler is not None:
         # reference error_handler callback contract (cholmod_core.h:565-573)
         config.error_handler(
@@ -112,14 +121,16 @@ def solve(F: Factor, b: np.ndarray, config: Config = DEFAULT,
     solve (cholmod_super_solve analog); everything else uses the host CSC
     solvers."""
     from .numeric.supernodal import SupernodalFactorAdapter
-    if (isinstance(F, SupernodalFactorAdapter) and sys == "A"
-            and F.F.S.fl >= 5e6):
-        from .numeric.supernodal_solve import solve_device
-        return solve_device(F.F, b, config)
-    if sys == "A":
-        return chol_solve(F, b)
-    # the adapter exposes L/perm/d, so the system solves work on it directly
-    return simplicial.solve_system(F, b, sys)
+    from .stats import timed
+    with timed("solve"):
+        if (isinstance(F, SupernodalFactorAdapter) and sys == "A"
+                and F.F.S.fl >= 5e6):
+            from .numeric.supernodal_solve import solve_device
+            return solve_device(F.F, b, config)
+        if sys == "A":
+            return chol_solve(F, b)
+        # the adapter exposes L/perm/d — the system solves work on it directly
+        return simplicial.solve_system(F, b, sys)
 
 
 def cholsol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:

@@ -198,7 +198,7 @@ def _build_lu_group(S, Cg, CgT, t2g, ss, R, C, place, children, pbase):
                        panel_base=pbase)
 
 
-def _run_lu_plan(plan: LUPlan, Cdata, dtype):
+def _run_lu_plan(plan: LUPlan, Cdata, dtype, precision=None):
     import jax
     import jax.numpy as jnp
 
@@ -218,9 +218,11 @@ def _run_lu_plan(plan: LUPlan, Cdata, dtype):
                 child = updates[(dc, gc)][src]           # (np, RU_c, RU_c)
                 iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, RU_c), 1)
                 P = (iota == idx[:, None, :]).astype(dtype)
-                half = jnp.matmul(P, child, preferred_element_type=dtype)
+                half = jnp.matmul(P, child, preferred_element_type=dtype,
+                                  precision=precision)
                 contrib = jnp.matmul(half, jnp.swapaxes(P, 1, 2),
-                                     preferred_element_type=dtype)
+                                     preferred_element_type=dtype,
+                                     precision=precision)
                 F = F.at[dst].add(contrib, indices_are_sorted=True)
 
             ridx = jax.lax.broadcasted_iota(jnp.int32, (B, C, C), 1)
@@ -242,7 +244,8 @@ def _run_lu_plan(plan: LUPlan, Cdata, dtype):
                 U12 = jax.lax.linalg.triangular_solve(
                     L11, F12p, left_side=True, lower=True, unit_diagonal=True)
                 U = F[:, C:, C:] - jnp.matmul(L21, U12,
-                                              preferred_element_type=dtype)
+                                              preferred_element_type=dtype,
+                                              precision=precision)
                 lp_out = jnp.concatenate([jnp.where(live, L11, 0.0), L21],
                                          axis=1)
                 ut_out = jnp.concatenate(
@@ -275,7 +278,10 @@ def factorize_lu_device(A: CSC, S: SupernodalSymbolic,
                             and jax.config.jax_enable_x64) else jnp.float32
     fn = getattr(S, "_mflu_dev_fn", None)
     if fn is None or getattr(S, "_mflu_dev_dtype", None) != dtype:
-        fn = jax.jit(lambda cd: _run_lu_plan(plan, cd, dtype))
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[config.precision]
+        fn = jax.jit(lambda cd: _run_lu_plan(plan, cd, dtype, prec))
         S._mflu_dev_fn = fn
         S._mflu_dev_dtype = dtype
     Lp, Ut, perms = fn(jnp.asarray(Cg.data))

@@ -317,8 +317,13 @@ def _use_potrf_kernel(dtype, B: int, C: int) -> bool:
 
 
 def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
-                   udtype=None):
-    """Assemble + factor one group; returns (panel_flat, update or None)."""
+                   udtype=None, precision=None):
+    """Assemble + factor one group; returns (panel_flat, update or None).
+
+    ``precision``: jax matmul precision. TPU fp32 matmuls default to ONE
+    bf16 pass (~2^-8 relative error) — 'highest' (3-pass) makes the one-hot
+    PLACEMENT matmuls bit-faithful pass-throughs and the syrk fp32-accurate;
+    it triples only the MXU pass count, not the memory traffic."""
     import jax
     import jax.numpy as jnp
 
@@ -341,9 +346,11 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
         child = Usrc[src]                                # contiguous row gather
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, pc.RU_c), 1)
         P = (iota == idx[:, None, :]).astype(child.dtype)  # (np, R, RU_c)
-        half = jnp.matmul(P, child, preferred_element_type=dtype)
+        half = jnp.matmul(P, child, preferred_element_type=dtype,
+                          precision=precision)
         contrib = jnp.matmul(half.astype(child.dtype), jnp.swapaxes(P, 1, 2),
-                             preferred_element_type=dtype)
+                             preferred_element_type=dtype,
+                             precision=precision)
         F = F.at[dst].add(contrib, indices_are_sorted=True)
 
     if cstr is not None:
@@ -377,7 +384,8 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
             L21 = None
     if RU > 0:
         U = F[:, C:, C:] - jnp.matmul(L21, jnp.swapaxes(L21, 1, 2),
-                                      preferred_element_type=dtype)
+                                      preferred_element_type=dtype,
+                                      precision=precision)
         U = U.astype(udtype)
         panel_out = jnp.concatenate([L11, L21], axis=1)
     else:
@@ -386,7 +394,8 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
     return panel_out.reshape(-1), U
 
 
-def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None, udtype=None):
+def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None, udtype=None,
+              precision=None):
     """The jitted numeric phase: returns the PADDED device factor buffer."""
     import jax.numpy as jnp
 
@@ -396,7 +405,7 @@ def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None, udtype=None):
     for d, glist in enumerate(plan.groups):
         for gi, (g, ix) in enumerate(zip(glist, idx[d])):
             pflat, U = _group_compute(g, ix, Cdata, updates, dtype, cstr,
-                                      udtype)
+                                      udtype, precision)
             panels.append(pflat)
             if U is not None:
                 updates[(d, gi)] = U
@@ -431,14 +440,18 @@ def factorize_device(A: CSC, S: SupernodalSymbolic,
     udtype = (jnp.bfloat16 if config.update_dtype == "bfloat16" else dtype)
     fn = getattr(S, "_device_fn", None)
     if fn is None or getattr(S, "_device_dtype", None) != (dtype, udtype):
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[config.precision]
         if os.environ.get("SSTPU_PLAN_CONSTS", "1") == "1":
             np_idx = plan_arrays(plan)
             fn = jax.jit(lambda cd: _run_plan(plan, cd, np_idx, dtype,
-                                              udtype=udtype))
+                                              udtype=udtype, precision=prec))
             S._device_idx = None
         else:
             fn = jax.jit(lambda cd, idx: _run_plan(plan, cd, idx, dtype,
-                                                   udtype=udtype))
+                                                   udtype=udtype,
+                                                   precision=prec))
             S._device_idx = [jnp.asarray(a) for a in plan_arrays(plan)]
         S._device_fn = fn
         S._device_dtype = (dtype, udtype)

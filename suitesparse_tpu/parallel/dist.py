@@ -82,7 +82,11 @@ def dist_factorize_device(A: CSC, S: SupernodalSymbolic, mesh,
     if cache is None or cache[0] != key:
         cstr = _make_cstr(mesh)
         np_idx = sd.plan_arrays(plan)
-        fn = jax.jit(lambda cd: sd._run_plan(plan, cd, np_idx, dtype, cstr))
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[config.precision]
+        fn = jax.jit(lambda cd: sd._run_plan(plan, cd, np_idx, dtype, cstr,
+                                             precision=prec))
         S._dist_cache = (key, fn)
     _, fn = S._dist_cache
     # replicated device_put is multi-process legal (multihost.py recipe);
