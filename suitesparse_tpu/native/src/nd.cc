@@ -30,39 +30,47 @@ struct Graph {
 };
 
 // Build the coarse graph from a matching: map[v] = coarse id.
+// Flat two-pass construction with marker-based duplicate merging — no
+// per-vertex vectors, no sorts (this ran at every coarsening level of every
+// recursion node and dominated ND time).
 Graph contract(const Graph& g, const std::vector<i64>& cmap, i64 cn) {
   Graph cg;
   cg.n = cn;
   cg.vwgt.assign(cn, 0);
   for (i64 v = 0; v < g.n; v++) cg.vwgt[cmap[v]] += g.vwgt[v];
   cg.total_vwgt = g.total_vwgt;
-  cg.xadj.assign(cn + 1, 0);
-  std::vector<i64> tmp_head(cn, -1), tmp_wgt, tmp_id;
-  std::vector<std::pair<i64, i64>> edges;  // (coarse neighbor, weight) scratch
-  std::vector<i64> marker(cn, -1), accum(cn, 0);
-  // two-pass: count then fill (with dedup via marker)
-  std::vector<std::vector<std::pair<i64, i64>>> rows(cn);
-  for (i64 v = 0; v < g.n; v++) {
-    i64 cv = cmap[v];
-    for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
-      i64 cu = cmap[g.adj[p]];
-      if (cu == cv) continue;
-      rows[cv].push_back({cu, g.ewgt.empty() ? 1 : g.ewgt[p]});
-    }
+  // bucket fine vertices by coarse id (counting sort)
+  std::vector<i64> cnt(cn + 1, 0), vlist(g.n);
+  for (i64 v = 0; v < g.n; v++) cnt[cmap[v] + 1]++;
+  for (i64 c = 0; c < cn; c++) cnt[c + 1] += cnt[c];
+  {
+    std::vector<i64> fill(cnt.begin(), cnt.end() - 1);
+    for (i64 v = 0; v < g.n; v++) vlist[fill[cmap[v]]++] = v;
   }
+  cg.xadj.assign(cn + 1, 0);
+  cg.adj.reserve(g.adj.size());
+  cg.ewgt.reserve(g.adj.size());
+  std::vector<i64> marker(cn, -1), slot(cn, 0);
   for (i64 c = 0; c < cn; c++) {
-    auto& r = rows[c];
-    std::sort(r.begin(), r.end());
-    i64 w = 0;
-    for (size_t t = 0; t < r.size(); t++) {
-      w += r[t].second;
-      if (t + 1 == r.size() || r[t + 1].first != r[t].first) {
-        cg.adj.push_back(r[t].first);
-        cg.ewgt.push_back(w);
-        w = 0;
+    i64 begin = (i64)cg.adj.size();
+    for (i64 t = cnt[c]; t < cnt[c + 1]; t++) {
+      i64 v = vlist[t];
+      for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
+        i64 cu = cmap[g.adj[p]];
+        if (cu == c) continue;
+        i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
+        if (marker[cu] != c) {
+          marker[cu] = c;
+          slot[cu] = (i64)cg.adj.size();
+          cg.adj.push_back(cu);
+          cg.ewgt.push_back(w);
+        } else {
+          cg.ewgt[slot[cu]] += w;
+        }
       }
     }
     cg.xadj[c + 1] = (i64)cg.adj.size();
+    (void)begin;
   }
   return cg;
 }
@@ -158,7 +166,13 @@ void refine(const Graph& g, std::vector<char>& side,
   std::vector<std::pair<i64, i64>> heap;  // (gain, v), lazy
   auto push = [&](i64 v) { heap.push_back({gain[v], v});
     std::push_heap(heap.begin(), heap.end()); };
-  for (int pass = 0; pass < 6; pass++) {
+  // most of the cut reduction lands in the first passes; large graphs cap
+  // the pass count (the per-pass gain scan is O(m))
+  int max_pass = g.n > 20000 ? 2 : (g.n > 2000 ? 4 : 6);
+  for (int pass = 0; pass < max_pass; pass++) {
+    // boundary-only heap (METIS-style): interior vertices can only become
+    // candidates when a neighbor moves, and the move loop pushes them then
+    heap.clear();
     for (i64 v = 0; v < g.n; v++) {
       i64 ext = 0, in = 0;
       for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
@@ -166,9 +180,8 @@ void refine(const Graph& g, std::vector<char>& side,
         if (side[g.adj[p]] != side[v]) ext += w; else in += w;
       }
       gain[v] = ext - in;
+      if (ext > 0) push(v);
     }
-    heap.clear();
-    for (i64 v = 0; v < g.n; v++) push(v);
     std::fill(moved.begin(), moved.end(), 0);
     moves.clear();
     i64 delta = 0, best_delta = 0, best_len = 0, w0_run = w0, best_w0 = w0;

@@ -287,7 +287,20 @@ def solve_mflu(F: MFLUFactor, b: np.ndarray) -> np.ndarray:
 
 
 def mflusol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
-    """One-call multifrontal-LU solve with iterative refinement."""
+    """One-call multifrontal-LU solve with iterative refinement.
+
+    Strategy AUTO (the reference's ``umfpack_qsymbolic.c`` auto-select,
+    ``umfpack.h:194-212``): the multifrontal symmetric-pattern path fits
+    matrices with substantial structural symmetry and a mostly-nonzero
+    diagonal; strongly unsymmetric patterns (or heavy singleton structure)
+    route to the BTF + Gilbert-Peierls path with true partial pivoting —
+    the same decision the reference makes between its SYMMETRIC and
+    UNSYMMETRIC strategies."""
+    sym = A.symmetry() if A.sym == 0 else {"structural": 1.0,
+                                           "nzdiag": A.ncol}
+    if sym["structural"] < 0.5 or sym["nzdiag"] < 0.9 * A.ncol:
+        from .lu import lusol
+        return lusol(A, b, config)
     S = analyze_mflu(A, config)
     F = factorize_lu_host(A, S, config)
     x = solve_mflu(F, b)
