@@ -36,7 +36,7 @@ def read_rb(path_or_file) -> CSC:
         nrow, ncol, nnz = int(line3[1]), int(line3[2]), int(line3[3])
         f.readline()  # formats (parsed token-wise instead)
         assert mxtype[2] == "a", f"unsupported (elemental) type {mxtype}"
-        assert mxtype[0] in "rpi", f"unsupported value type {mxtype}"
+        assert mxtype[0] in "rpic", f"unsupported value type {mxtype}"
 
         def read_tokens(ncards, count, conv):
             toks = []
@@ -50,12 +50,19 @@ def read_rb(path_or_file) -> CSC:
         indices = read_tokens(indcrd, nnz, int) - 1
         if mxtype[0] == "p" or valcrd == 0:
             data = np.ones(nnz)
+        elif mxtype[0] == "c":
+            # complex: 2*nnz reals, (re, im) interleaved
+            raw = read_tokens(valcrd, 2 * nnz, float)
+            data = raw[0::2] + 1j * raw[1::2]
         else:
             data = read_tokens(valcrd, nnz, float)
         cols = np.repeat(np.arange(ncol, dtype=np.int64),
                          np.diff(indptr.astype(np.int64)))
         sym = mxtype[1]
         if sym in "sh":  # symmetric/hermitian: lower stored -> upper convention
+            if sym == "h":
+                # conjugate the entries that move to the upper triangle
+                data = np.where(indices > cols, np.conj(data), data)
             return from_triplets(nrow, ncol, np.minimum(indices, cols),
                                  np.maximum(indices, cols), data, sym=1)
         if sym == "z":   # skew-symmetric: expand

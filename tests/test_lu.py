@@ -154,3 +154,30 @@ def test_extract_lu_identity():
         for j in range(M.ncol):
             rr = M.indices[M.indptr[j]:M.indptr[j + 1]]
             assert np.all(np.diff(rr) > 0)
+
+
+def test_umfpack_demo_set():
+    """Config #4 gate: the reference UMFPACK Demo HB set (umf4.c workflow —
+    read Harwell-Boeing, factorize, solve b = A*ones, report residual)."""
+    import os
+    import numpy as np
+    import suitesparse_tpu as sst
+    from suitesparse_tpu.io.rutherford_boeing import read_rb
+    from suitesparse_tpu.numeric.multifrontal_lu import mflusol
+
+    hb = "/root/reference/UMFPACK/Demo/HB"
+    if not os.path.isdir(hb):
+        import pytest
+        pytest.skip("reference mount unavailable")
+    for fname in ("west0067.rua", "arc130.rua", "fs_183_6.rua"):
+        A = read_rb(os.path.join(hb, fname))
+        x_true = np.ones(A.ncol)
+        b = A.matvec(x_true)
+        # KLU-style path (partial pivoting)
+        x = sst.lusol(A, b)
+        r1 = sst.residual_norm(A, x, b)
+        assert r1 < 1e-10, (fname, r1)
+        # UMFPACK-style multifrontal path (strategy auto + IR)
+        x2 = mflusol(A, b)
+        r2 = sst.residual_norm(A, x2, b)
+        assert r2 < 1e-8, (fname, r2)
