@@ -299,8 +299,11 @@ def mflusol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
     sym = A.symmetry() if A.sym == 0 else {"structural": 1.0,
                                            "nzdiag": A.ncol}
     if sym["structural"] < 0.5 or sym["nzdiag"] < 0.9 * A.ncol:
-        from .lu import lusol
-        return lusol(A, b, config)
+        # UNSYMMETRIC strategy: matched column-etree fronts on device
+        # (falls back to the KLU path itself when fronts are numerically
+        # deficient — mflu_unsym.mflusol_unsym)
+        from .mflu_unsym import mflusol_unsym
+        return mflusol_unsym(A, b, config)
     S = analyze_mflu(A, config)
     F = factorize_lu_host(A, S, config)
     x = solve_mflu(F, b)

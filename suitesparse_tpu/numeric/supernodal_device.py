@@ -316,6 +316,32 @@ def _use_potrf_kernel(dtype, B: int, C: int) -> bool:
     return good_shape and jax.devices()[0].platform == "tpu"
 
 
+def _onehot_place(P, X, dtype, precision):
+    """P @ X for one-hot P. bf16 X (update_dtype option) runs a single
+    native MXU pass; fp32 keeps the configured precision (HIGHEST is
+    bit-faithful for one-hot selection).
+
+    A 3-term bf16 split (exact for one-hot P, half of HIGHEST's MXU passes)
+    was measured SLOWER end-to-end: the per-term converts/subtracts plus the
+    optimization barriers needed to stop XLA's excess-precision round-trip
+    folding cost more than the saved passes at these shapes."""
+    import jax.numpy as jnp
+
+    import jax
+
+    if X.dtype == jnp.bfloat16:
+        if jax.default_backend() == "tpu":
+            return jnp.matmul(P.astype(jnp.bfloat16), X,
+                              preferred_element_type=dtype,
+                              precision=precision)
+        # CPU dot thunks reject BF16xBF16=F32 in fused programs — upcast
+        # (numerically identical; only the MXU-rate benefit is TPU-side)
+        return jnp.matmul(P, X.astype(dtype), preferred_element_type=dtype,
+                          precision=precision)
+    return jnp.matmul(P, X, preferred_element_type=dtype,
+                      precision=precision)
+
+
 def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
                    udtype=None, precision=None):
     """Assemble + factor one group; returns (panel_flat, update or None).
@@ -345,12 +371,11 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
         Usrc = updates[(pc.src_level, pc.src_gi)]        # (B_c, RU_c, RU_c)
         child = Usrc[src]                                # contiguous row gather
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, pc.RU_c), 1)
-        P = (iota == idx[:, None, :]).astype(child.dtype)  # (np, R, RU_c)
-        half = jnp.matmul(P, child, preferred_element_type=dtype,
-                          precision=precision)
-        contrib = jnp.matmul(half.astype(child.dtype), jnp.swapaxes(P, 1, 2),
-                             preferred_element_type=dtype,
-                             precision=precision)
+        P = (iota == idx[:, None, :]).astype(dtype)      # (np, R, RU_c)
+        half = _onehot_place(P, child, dtype, precision)
+        contrib = jnp.swapaxes(
+            _onehot_place(P, jnp.swapaxes(half, 1, 2), dtype, precision),
+            1, 2)
         F = F.at[dst].add(contrib, indices_are_sorted=True)
 
     if cstr is not None:
