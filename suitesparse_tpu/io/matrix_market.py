@@ -8,7 +8,6 @@ reference source.
 from __future__ import annotations
 
 import gzip
-import io as _io
 
 import numpy as np
 

@@ -21,7 +21,7 @@ import dataclasses
 import numpy as np
 
 from ..config import Config, DEFAULT
-from ..sparse import CSC, invert_permutation
+from ..sparse import CSC
 from ..ordering.btf import BTF, btf_order
 from ..ordering.amd import amd_order
 

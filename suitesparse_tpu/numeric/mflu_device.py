@@ -40,7 +40,7 @@ import numpy as np
 from ..config import Config, DEFAULT
 from ..sparse import CSC
 from ..symbolic.supernodes import SupernodalSymbolic
-from .supernodal_device import _pad_to, _R_LADDER, _C_LADDER, _ranges  # noqa: F401
+from .supernodal_device import _pad_to, _R_LADDER, _C_LADDER
 
 __all__ = ["factorize_lu_device", "MFLUDeviceFactor", "solve_mflu_device"]
 

@@ -29,7 +29,7 @@ import dataclasses
 import numpy as np
 
 from ..config import Config, DEFAULT
-from ..sparse import CSC, from_triplets, invert_permutation
+from ..sparse import CSC, from_triplets
 from ..symbolic.supernodes import SupernodalSymbolic, analyze_supernodal
 
 __all__ = ["MFLUFactor", "analyze_mflu", "factorize_lu_host", "solve_mflu",

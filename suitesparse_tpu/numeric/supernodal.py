@@ -32,7 +32,7 @@ import dataclasses
 import numpy as np
 
 from ..config import Config, DEFAULT
-from ..sparse import CSC, invert_permutation
+from ..sparse import CSC
 from ..symbolic.supernodes import SupernodalSymbolic, analyze_supernodal
 from . import simplicial
 

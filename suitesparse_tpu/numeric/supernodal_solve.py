@@ -11,7 +11,7 @@ Two formulations:
   * MULTIFRONTAL solve (the fast path, "device" layout): contributions move
     strictly child→parent as per-group vectors routed by the SAME pair/idx
     plans as the factorization's extend-add — one-hot placement matvecs up,
-    take_along_axis gathers down, and ONE final gather assembles x. No
+    one-hot selection matmuls down, and ONE final gather assembles x. No
     global scatter at all (measured: the naive formulation spent >75% of
     solve time in elementwise y scatters at ~55 ns/element).
   * scatter-based level solve (the "px"-layout fallback): per level,
@@ -55,8 +55,7 @@ class SolvePlan:
 
 
 def build_solve_plan(S: SupernodalSymbolic, layout: str) -> SolvePlan:
-    from .supernodal_device import (_pad_to, _R_LADDER, _C_LADDER, _ranges,
-                                    build_plan)
+    from .supernodal_device import _pad_to, _R_LADDER, _C_LADDER, _ranges
 
     if layout == "device":
         plan = S._device_plan

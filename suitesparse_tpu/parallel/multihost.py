@@ -24,8 +24,6 @@ legal; outputs are global arrays sharded per the plan's constraints.
 
 from __future__ import annotations
 
-import numpy as np
-
 from ..config import Config, DEFAULT
 from ..sparse import CSC
 from ..symbolic.supernodes import SupernodalSymbolic

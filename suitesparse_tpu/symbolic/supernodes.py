@@ -25,7 +25,7 @@ import dataclasses
 import numpy as np
 
 from ..config import Config, DEFAULT
-from ..sparse import CSC, invert_permutation
+from ..sparse import CSC
 from .etree import col_counts, etree, postorder
 
 __all__ = ["SupernodalSymbolic", "Supernode", "analyze_supernodal"]
