@@ -337,27 +337,40 @@ def _run_lu_unsym_plan(plan, Adata, bflat, dtype, precision=None):
 
 
 def lu_unsym_solve_device(A: CSC, b: np.ndarray,
-                          config: Config = DEFAULT) -> np.ndarray:
+                          config: Config = DEFAULT,
+                          SL: LUUnsymSymbolic | None = None) -> np.ndarray:
     """Factor + solve Ax=b with the rhs riding through the elimination
-    (umfpack_wsolve-style one-shot; analysis cached per pattern)."""
+    (umfpack_wsolve-style one-shot). Pass a cached ``SL`` from
+    ``analyze_mflu_unsym`` for the analyze-once/solve-many regime — the
+    plan and compiled program are cached on it per nrhs."""
     import jax
     import jax.numpy as jnp
 
-    SL = analyze_mflu_unsym(A, config)
+    if SL is None:
+        SL = analyze_mflu_unsym(A, config)
     SQ = SL.SQ
-    Aq = A.permuted(SL.rowpre, SQ.q)
     b = np.asarray(b, dtype=np.float64)
     bb = b.reshape(-1, 1) if b.ndim == 1 else b
     bb = bb[SL.rowpre]
     nrhs = bb.shape[1]
-    plan = build_lu_unsym_plan(SL, Aq, nrhs)
-    SQ._dev_plan = plan
-    dtype = jnp.float32
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH,
-            "default": jax.lax.Precision.DEFAULT}[config.precision]
-    fn = jax.jit(lambda ad, bf: _run_lu_unsym_plan(plan, ad, bf, dtype, prec))
-    panels = fn(jnp.asarray(Aq.data), jnp.asarray(bb.ravel()))
+    cache = getattr(SL, "_dev_cache", None)
+    if cache is None or cache[0] != (nrhs, config.precision):
+        Aq = A.permuted(SL.rowpre, SQ.q)
+        plan = build_lu_unsym_plan(SL, Aq, nrhs)
+        SQ._dev_plan = plan
+        dtype = jnp.float32
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[config.precision]
+        fn = jax.jit(
+            lambda ad, bf: _run_lu_unsym_plan(plan, ad, bf, dtype, prec))
+        # steady-state value map: Aq.data = A.data[vmap] (pattern fixed)
+        trace = CSC(A.nrow, A.ncol, A.indptr, A.indices,
+                    np.arange(A.nnz, dtype=np.float64), 0)
+        vmap = trace.permuted(SL.rowpre, SQ.q).data.astype(np.int64)
+        SL._dev_cache = ((nrhs, config.precision), fn, vmap)
+    _, fn, vmap = SL._dev_cache
+    panels = fn(jnp.asarray(A.data[vmap]), jnp.asarray(bb.ravel()))
     ok = bool(jnp.isfinite(panels).all())
     assert ok, "unsymmetric multifrontal LU produced non-finite panels"
     F = MFQRDeviceFactor(SQ=SQ, panels=panels, ok=ok)
@@ -375,7 +388,8 @@ def mflusol_unsym(A: CSC, b: np.ndarray,
     Ag = A.to_full_storage() if A.sym != 0 else A
     b = np.asarray(b, dtype=np.float64)
     try:
-        x = lu_unsym_solve_device(Ag, b, config)
+        SL = analyze_mflu_unsym(Ag, config)
+        x = lu_unsym_solve_device(Ag, b, config, SL=SL)
         prev = np.inf
         for _ in range(max(config.ir_steps, 2)):
             r = b - Ag.matvec(x)
@@ -383,7 +397,7 @@ def mflusol_unsym(A: CSC, b: np.ndarray,
             if nrm == 0.0 or nrm >= prev:
                 break
             prev = nrm
-            x = x + lu_unsym_solve_device(Ag, r, config)
+            x = x + lu_unsym_solve_device(Ag, r, config, SL=SL)
         from ..sparse import residual_norm
         if residual_norm(Ag, x, b) < 1e-6:
             return x
