@@ -29,7 +29,22 @@ import functools
 
 import numpy as np
 
-__all__ = ["batched_potrf", "batched_potrf_trsm"]
+__all__ = ["batched_potrf", "batched_potrf_trsm", "lane_block", "kernel_fits"]
+
+
+def lane_block(C: int, RU: int, itemsize: int = 4) -> int | None:
+    """Largest 128-multiple batch block whose in+out+scratch VMEM (with
+    Mosaic double buffering) fits the ~16MB scoped budget; None if even 128
+    lanes do not fit (caller must use the XLA path)."""
+    per_lane = (2 * C * C + 2 * max(RU, 1) * C) * itemsize  # in+out refs
+    bb = int(10e6 // max(per_lane, 1)) // 128 * 128
+    if bb < 128:
+        return None
+    return min(1024, bb)
+
+
+def kernel_fits(C: int, RU: int, itemsize: int = 4) -> bool:
+    return lane_block(C, RU, itemsize) is not None
 
 
 def _kernel(x11_ref, x21_ref, l11_ref, l21_ref, *, C: int, RU: int):
@@ -114,9 +129,10 @@ def batched_potrf_trsm(f11, f21=None, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     dtype = f11.dtype
-    # batch block: keep VMEM per block under ~6 MB (double-buffered by Mosaic)
-    per_lane = (2 * C * C + 2 * max(RU, 1) * C) * np.dtype(dtype).itemsize
-    BB = max(128, min(1024, int(6e6 // max(per_lane, 1)) // 128 * 128))
+    BB = lane_block(C, RU, np.dtype(dtype).itemsize)
+    assert BB is not None, (
+        "front too large for the Pallas potrf kernel's VMEM budget; "
+        "caller should use the XLA path (see kernel_fits)")
     nb = -(-B // BB)
     pad = nb * BB - B
     x11 = jnp.transpose(f11, (1, 2, 0))

@@ -100,8 +100,10 @@ def batched_trisolve(L, Y, transpose: bool = False,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     dtype = L.dtype
-    per_lane = (C * C + 2 * C * NR) * np.dtype(dtype).itemsize
-    BB = max(128, min(1024, int(6e6 // max(per_lane, 1)) // 128 * 128))
+    per_lane = 2 * (C * C + 2 * C * NR) * np.dtype(dtype).itemsize
+    BB = int(10e6 // max(per_lane, 1)) // 128 * 128
+    assert BB >= 128, "tile too large for VMEM; caller must use the XLA path"
+    BB = min(1024, BB)
     nb = -(-B // BB)
     pad = nb * BB - B
     lt = jnp.transpose(L, (1, 2, 0))

@@ -300,9 +300,10 @@ def _unpack_idx(plan: Plan, flat):
     return out
 
 
-def _use_potrf_kernel(dtype, B: int, C: int) -> bool:
+def _use_potrf_kernel(dtype, B: int, C: int, RU: int = 0) -> bool:
     """Pallas potrf+trsm policy: wins when the batch fills lanes and the
-    column loop is short; XLA's blocked algorithm wins for few big tiles.
+    column loop is short; XLA's blocked algorithm wins for few big tiles,
+    and fronts whose tiles exceed the VMEM budget must stay on XLA.
     SSTPU_PALLAS=0 disables, =1 forces (interpret off-TPU is test-only)."""
     import jax
     import jax.numpy as jnp
@@ -310,7 +311,9 @@ def _use_potrf_kernel(dtype, B: int, C: int) -> bool:
     mode = os.environ.get("SSTPU_PALLAS", "auto")
     if mode == "0":
         return False
-    good_shape = B >= 32 and C <= 96 and dtype == jnp.float32
+    from ..kernels.potrf import kernel_fits
+    good_shape = (B >= 32 and C <= 96 and dtype == jnp.float32
+                  and kernel_fits(C, RU))
     if mode == "1":
         return good_shape
     return good_shape and jax.devices()[0].platform == "tpu"
@@ -390,7 +393,7 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
     eye = jnp.where(ridx == cidx, jnp.asarray(1.0, dtype), 0.0)
     F11m = jnp.where(live, F11s, eye)
     F21 = F[:, C:, :C] if RU > 0 else None
-    if cstr is None and _use_potrf_kernel(dtype, B, C):
+    if cstr is None and _use_potrf_kernel(dtype, B, C, RU):
         # fused Pallas potrf+trsm, batch on the 128-lane minor dim — measured
         # 7-13x over XLA's blocked-While cholesky/triangular_solve at these
         # shapes (see kernels/potrf.py). Skipped on the sharded (cstr) path:

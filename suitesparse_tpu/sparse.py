@@ -193,6 +193,13 @@ class CSC:
         return CSC(self.nrow, self.ncol, indptr, self.indices[keep],
                    self.data[keep], self.sym)
 
+    def band(self, k1: int, k2: int) -> "CSC":
+        """Entries within diagonals k1..k2 inclusive (cholmod_band analog)."""
+        A = self.to_full_storage() if self.sym != 0 else self
+        cols = np.repeat(np.arange(A.ncol, dtype=np.int64), np.diff(A.indptr))
+        d = cols - A.indices
+        return A._filter((d >= k1) & (d <= k2))
+
     def tril(self, k: int = 0) -> "CSC":
         keep = self.indices >= (np.repeat(np.arange(self.ncol, dtype=np.int64),
                                           np.diff(self.indptr)) + k)

@@ -67,3 +67,15 @@ def test_concat():
 def test_norm_fro():
     D = _rand(5, 5, seed=6)
     assert np.isclose(from_dense(D).norm_fro(), np.linalg.norm(D, "fro"))
+
+
+def test_band():
+    D = _rand(7, 7, seed=9, density=0.6)
+    A = from_dense(D)
+    Bm = A.band(-1, 2).to_dense()
+    ref = np.zeros_like(D)
+    for i in range(7):
+        for j in range(7):
+            if -1 <= j - i <= 2:
+                ref[i, j] = D[i, j]
+    np.testing.assert_allclose(Bm, ref)
