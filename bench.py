@@ -110,6 +110,21 @@ def main() -> None:
         _ = float(jnp.sum(sum(jnp.sum(o) for o in souts)))
         t_solve = min(t_solve, (time.time() - t0) / K)
 
+    # multi-RHS solve (the serving regime: nrhs is a free batch dimension)
+    NR = 64
+    B64 = np.tile(b.reshape(-1, 1), (1, NR)) * (1.0 + np.arange(NR) / NR)
+    x64 = supernodal_solve.solve_device(F, B64, cfg)     # compile + gate
+    assert sst.residual_norm(A, x64[:, 0], B64[:, 0]) < 1e-2
+    _, sfn64 = S._solve_cache
+    pbp64 = jnp.asarray(np.concatenate([B64[S.perm], np.zeros((1, NR))]))
+    _ = float(jnp.sum(sfn64(F.Lx, pbp64)))
+    t_solve64 = float("inf")
+    for _trial in range(2):
+        t0 = time.time()
+        souts = [sfn64(F.Lx, pbp64) for _ in range(K)]
+        _ = float(jnp.sum(sum(jnp.sum(o) for o in souts)))
+        t_solve64 = min(t_solve64, (time.time() - t0) / K)
+
     gflops = S.fl / t_factor / 1e9
     print(json.dumps({
         "metric": "supernodal_cholesky_fp32_gflops",
@@ -123,6 +138,8 @@ def main() -> None:
         "nsuper": S.nsuper,
         "factor_s": round(t_factor, 4),
         "solve_s": round(t_solve, 4),
+        "solve64_s": round(t_solve64, 4),
+        "solve64_gflops": round(4 * S.lnz * NR / t_solve64 / 1e9, 1),
         "latency_s": round(t_latency, 4),
         "pipeline_depth": K,
         "first_call_s": round(t_first, 2),
