@@ -34,6 +34,24 @@ from .supernodal import SupernodalFactor
 __all__ = ["build_solve_plan", "solve_device", "solve_refined"]
 
 
+def _use_step_kernel(dtype, B: int, C: int, RU: int, nrhs: int) -> bool:
+    """Fused solve-step kernel policy (mirrors _use_potrf_kernel)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    mode = os.environ.get("SSTPU_PALLAS", "auto")
+    if mode == "0":
+        return False
+    from ..kernels.solve_step import step_fits
+    good = (B >= 32 and C <= 96 and dtype == jnp.float32
+            and step_fits(C, RU, nrhs))
+    if mode == "1":
+        return good
+    return good and jax.default_backend() == "tpu"
+
+
 @dataclasses.dataclass
 class SolveGroup:
     R: int
@@ -220,12 +238,18 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
                 w = w.at[dst].add(placed, indices_are_sorted=True)
             yc = pb[sg.col_idx].reshape(B, C, nrhs) - w[:, :C, :]
             L11, L21 = panels_of(sg)
-            xc = trisolve(L11, yc, sg, False)
-            yfwd[(d, gi)] = xc
-            if RU > 0:
-                V = jnp.matmul(L21, xc, preferred_element_type=dtype) \
-                    + w[:, C:, :]
+            if RU > 0 and _use_step_kernel(dtype, B, C, RU, nrhs):
+                from ..kernels.solve_step import solve_step_fwd
+                xc, V = solve_step_fwd(L11, L21, yc, w[:, C:, :])
+                yfwd[(d, gi)] = xc
                 up[(d, gi)] = V
+            else:
+                xc = trisolve(L11, yc, sg, False)
+                yfwd[(d, gi)] = xc
+                if RU > 0:
+                    V = jnp.matmul(L21, xc, preferred_element_type=dtype) \
+                        + w[:, C:, :]
+                    up[(d, gi)] = V
 
     # ---------------- backward: root -> leaves ----------------
     xb = {}       # (level, gi) -> below-row x values (B, RU, nrhs)
@@ -241,10 +265,15 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
                 below = jnp.zeros((B, max(RU, 1), nrhs), dtype=dtype)
             yc = yfwd[(d, gi)]
             L11, L21 = panels_of(sg)
-            if RU > 0:
-                yc = yc - jnp.matmul(jnp.swapaxes(L21, 1, 2), below[:, :RU],
-                                     preferred_element_type=dtype)
-            xc = trisolve(L11, yc, sg, True)
+            if RU > 0 and _use_step_kernel(dtype, B, C, RU, nrhs):
+                from ..kernels.solve_step import solve_step_bwd
+                xc = solve_step_bwd(L11, L21, yc, below[:, :RU])
+            else:
+                if RU > 0:
+                    yc = yc - jnp.matmul(jnp.swapaxes(L21, 1, 2),
+                                         below[:, :RU],
+                                         preferred_element_type=dtype)
+                xc = trisolve(L11, yc, sg, True)
             xcs[(d, gi)] = xc
             # push the front's x values down to every child group
             if fg.pairs:
