@@ -245,9 +245,19 @@ def qr_solve(F: QRFactor, b: np.ndarray) -> np.ndarray:
 
 
 def qrsol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
-    """cs_qrsol analog: least squares (m>=n) or minimum norm (m<n)."""
+    """cs_qrsol analog: least squares (m>=n) or minimum norm (m<n).
+
+    Least-squares problems with enough flops route to the device multifrontal
+    QR (SuiteSparseQR's default path); small ones use the host simplicial
+    Householder QR."""
     m, n = A.shape
     if m >= n:
+        if m * n >= 1 << 16:  # device path pays off past trivial sizes
+            try:
+                from .mfqr_device import mfqrsol_device
+                return mfqrsol_device(A, b, config)
+            except AssertionError:
+                pass          # rank-deficient staircase etc.: host fallback
         S = symbolic_qr(A, config)
         F = qr_host(A, S, config)
         return qr_solve(F, b)

@@ -45,7 +45,8 @@ def _use_step_kernel(dtype, B: int, C: int, RU: int, nrhs: int) -> bool:
     if mode == "0":
         return False
     from ..kernels.solve_step import step_fits
-    good = (B >= 32 and C <= 96 and dtype == jnp.float32
+    min_b = int(os.environ.get("SSTPU_STEP_MINB", "8"))
+    good = (B >= min_b and C <= 96 and dtype == jnp.float32
             and step_fits(C, RU, nrhs))
     if mode == "1":
         return good
