@@ -1,0 +1,70 @@
+"""Coverage for auxiliary subsystems: stats, config, error handler, device
+factor serialization, multihost no-op init, supernodal system solves."""
+
+import numpy as np
+import pytest
+
+import suitesparse_tpu as sst
+from suitesparse_tpu.io import fixtures
+
+
+def test_stats_timers_and_report():
+    from suitesparse_tpu.stats import GLOBAL_STATS
+    GLOBAL_STATS.clear()
+    A = fixtures.random_spd(40, density=0.1, seed=1)
+    S = sst.analyze(A)
+    F = sst.factorize(A, S)
+    x = sst.solve(F, np.ones(40))
+    rep = GLOBAL_STATS.report()
+    for phase in ("analyze", "factorize", "solve"):
+        assert phase in rep
+    assert GLOBAL_STATS.values["lnz"] == S.lnz
+    assert sst.residual_norm(A, x, np.ones(40)) < 1e-10
+
+
+def test_error_handler_called():
+    calls = []
+    cfg = sst.DEFAULT.replace(error_handler=calls.append,
+                              factor_kind=sst.FactorKind.SIMPLICIAL_LL)
+    # indefinite matrix: LL' must fail and report through the handler
+    from suitesparse_tpu.sparse import from_dense
+    D = np.diag([1.0, -2.0, 3.0])
+    A = from_dense(np.triu(D)); A.sym = 1
+    S = sst.analyze(A, cfg)
+    F = sst.factorize(A, S, cfg)
+    assert not F.ok and len(calls) == 1 and "column" in calls[0]
+
+
+def test_device_factor_serialization_roundtrip(tmp_path):
+    from suitesparse_tpu.ordering import amd_order
+    from suitesparse_tpu.symbolic.supernodes import analyze_supernodal
+    from suitesparse_tpu.numeric import supernodal_device, supernodal
+    from suitesparse_tpu.numeric.supernodal import SupernodalFactorAdapter
+
+    A = fixtures.laplacian_3d(6)
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal_device.factorize_device(A, S)
+    # materialize to the CHOLMOD px layout and compare against host oracle
+    Fh = supernodal.factorize_host(A, S)
+    np.testing.assert_allclose(F.lx_host(), Fh.Lx, atol=1e-4)
+
+
+def test_multihost_single_process_noop():
+    import suitesparse_tpu.parallel.multihost as mh
+    mh.initialize()                       # no-op single process
+    mh.initialize(num_processes=1)        # explicit single process
+    mesh = mh.global_solver_mesh()
+    assert set(mesh.axis_names) == {"tree", "panel"}
+
+
+def test_config_replace_immutable():
+    cfg = sst.DEFAULT.replace(nd_small=123)
+    assert cfg.nd_small == 123 and sst.DEFAULT.nd_small != 123
+
+
+def test_collection_default_has_reference_index():
+    from suitesparse_tpu.io.collection import default_collection
+    c = default_collection()
+    # works whether or not the reference mount is present
+    idx = c.index()
+    assert isinstance(idx, list)
