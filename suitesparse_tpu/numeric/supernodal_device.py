@@ -346,7 +346,7 @@ def _onehot_place(P, X, dtype, precision):
 
 
 def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
-                   udtype=None, precision=None):
+                   udtype=None, precision=None, token=None):
     """Assemble + factor one group; returns (panel_flat, update or None).
 
     ``precision``: jax matmul precision. TPU fp32 matmuls default to ONE
@@ -360,6 +360,11 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
         udtype = dtype
     B, R, C = g.B, g.R, g.C
     RU = R - C
+    if token is not None:
+        # serialize group execution: without this dependency XLA hoists and
+        # co-materializes every group's placement buffers (GBs at scale);
+        # the TPU core runs ops serially anyway, so nothing is lost
+        Cdata, _ = jax.lax.optimization_barrier((Cdata, token))
     # original entries: one sorted unique scatter of this group's nnz(A)
     F = jnp.zeros(B * R * R, dtype=dtype)
     if g.asrc.size:
@@ -369,9 +374,13 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
 
     # extend-add: child update blocks placed via one-hot matmuls (MXU, fp32
     # accumulation — udtype=bfloat16 halves the update traffic), then
-    # block-granular accumulation into parent slots
+    # block-granular accumulation into parent slots. The barrier ties each
+    # class's inputs to the running F so XLA cannot hoist and co-materialize
+    # every class's P/contrib buffers (12.8 GB at audikw-class sizes).
     for pc, (src, dst, idx) in zip(g.pairs, ix["pairs"]):
         Usrc = updates[(pc.src_level, pc.src_gi)]        # (B_c, RU_c, RU_c)
+        if len(g.pairs) > 1:
+            F, Usrc = jax.lax.optimization_barrier((F, Usrc))
         child = Usrc[src]                                # contiguous row gather
         iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, pc.RU_c), 1)
         P = (iota == idx[:, None, :]).astype(dtype)      # (np, R, RU_c)
@@ -430,11 +439,13 @@ def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None, udtype=None,
     idx = _unpack_idx(plan, flat_idx)
     updates = {}   # (level, gi) -> (B, RU, RU) child update blocks
     panels = []
+    token = None
     for d, glist in enumerate(plan.groups):
         for gi, (g, ix) in enumerate(zip(glist, idx[d])):
             pflat, U = _group_compute(g, ix, Cdata, updates, dtype, cstr,
-                                      udtype, precision)
+                                      udtype, precision, token=token)
             panels.append(pflat)
+            token = pflat[:1]
             if U is not None:
                 updates[(d, gi)] = U
     return jnp.concatenate(panels) if panels else jnp.zeros(0, dtype=dtype)
