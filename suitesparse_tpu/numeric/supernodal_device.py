@@ -240,17 +240,23 @@ def _build_group(S: SupernodalSymbolic, C_low: CSC, ss, R, C, place,
     order = np.argsort(adst, kind="stable")
     asrc, adst = asrc[order].astype(np.int32), adst[order]
 
-    pairs, pair_arrays = [], {}
+    pairs, pair_arrays = [], []
+    # chunk big classes so each placement materializes a bounded contrib
+    # buffer (npairs * R^2 cells); peak memory otherwise scales with the
+    # largest class (audikw-scale OOM)
+    cap_cells = 16 << 20
+    chunk = max(1, cap_cells // max(R * R, 1))
     for (dc, gc), cls in sorted(pair_cls.items()):
         dst = np.asarray(cls["dst"], dtype=np.int32)
         order = np.argsort(dst, kind="stable")  # block-scatter likes sorted
-        pairs.append(PairClass(src_level=dc, src_gi=gc, RU_c=cls["RU_c"],
-                               npairs=len(dst)))
-        pair_arrays[(dc, gc)] = (
-            np.asarray(cls["src"], dtype=np.int32)[order],
-            dst[order],
-            np.stack(cls["idx"], axis=0)[order],
-        )
+        src = np.asarray(cls["src"], dtype=np.int32)[order]
+        dst = dst[order]
+        idx = np.stack(cls["idx"], axis=0)[order]
+        for lo in range(0, dst.size, chunk):
+            hi = min(lo + chunk, dst.size)
+            pairs.append(PairClass(src_level=dc, src_gi=gc,
+                                   RU_c=cls["RU_c"], npairs=hi - lo))
+            pair_arrays.append((src[lo:hi], dst[lo:hi], idx[lo:hi]))
     g = GroupPlan(R=R, C=C, B=B, snodes=np.asarray(ss, dtype=np.int64),
                   asrc=asrc, adst=adst, nc=nc_arr, pairs=pairs,
                   panel_base=panel_base)
@@ -279,8 +285,7 @@ def plan_arrays(plan: Plan):
     for glist in plan.groups:
         for g in glist:
             flat += [g.asrc, g.adst, g.nc]
-            for pc in g.pairs:
-                src, dst, idx = g._pair_arrays[(pc.src_level, pc.src_gi)]
+            for (src, dst, idx) in g._pair_arrays:
                 flat += [src, dst, idx]
     return flat
 

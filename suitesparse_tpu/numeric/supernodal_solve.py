@@ -229,8 +229,7 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
             B, R, C = fg.B, fg.R, fg.C
             RU = R - C
             w = jnp.zeros((B, R, nrhs), dtype=dtype)
-            for pc in fg.pairs:
-                src, dst, idx = fg._pair_arrays[(pc.src_level, pc.src_gi)]
+            for pc, (src, dst, idx) in zip(fg.pairs, fg._pair_arrays):
                 V = up[(pc.src_level, pc.src_gi)][src]     # (np, RU_c, nrhs)
                 iota = jax.lax.broadcasted_iota(
                     jnp.int32, (1, R, pc.RU_c), 1)
@@ -280,8 +279,7 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
             if fg.pairs:
                 fx = jnp.concatenate([xc, below[:, :RU]], axis=1) \
                     if RU > 0 else xc
-                for pc in fg.pairs:
-                    src, dst, idx = fg._pair_arrays[(pc.src_level, pc.src_gi)]
+                for pc, (src, dst, idx) in zip(fg.pairs, fg._pair_arrays):
                     rows = fx[dst]                          # (np, R, nrhs)
                     # select child rows via the one-hot transpose (P^T @ fx):
                     # same op family as the factor program (gather-free)
