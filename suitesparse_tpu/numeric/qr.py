@@ -59,6 +59,7 @@ class QRFactor:
     piv: np.ndarray         # Householder k's pivot row (-1 if empty column)
     R: CSC                  # n x n upper triangular, diagonal LAST per column
     rank_est: int           # columns with |R[k,k]| > tol
+    tol: float = 0.0        # the rank-detection tolerance actually used
 
 
 def symbolic_qr(A: CSC, config: Config = DEFAULT,
@@ -199,7 +200,7 @@ def qr_host(A: CSC, S: QRSymbolic, config: Config = DEFAULT) -> QRFactor:
     diag = np.array([R.data[R.indptr[k + 1] - 1] for k in range(n)])
     rank_est = int(np.sum(np.abs(diag) > tol))
     return QRFactor(S=S, Vrows=Vrows, Vvals=Vvals, beta=beta, piv=piv, R=R,
-                    rank_est=rank_est)
+                    rank_est=rank_est, tol=float(tol))
 
 
 def apply_qt(F: QRFactor, b: np.ndarray) -> np.ndarray:
@@ -233,14 +234,39 @@ def apply_q(F: QRFactor, y: np.ndarray) -> np.ndarray:
 
 
 def qr_solve(F: QRFactor, b: np.ndarray) -> np.ndarray:
-    """Least-squares solve min ||Ax-b|| for m >= n (cs_qrsol upper path)."""
+    """Least-squares solve min ||Ax-b|| for m >= n (cs_qrsol upper path).
+
+    Rank-deficient problems get the BASIC solution (dead pivots — columns
+    with |R[k,k]| <= tol — are fixed at zero), the SuiteSparseQR contract."""
     S = F.S
     y = apply_qt(F, b)
     # row of R(i,:) in Q'A is the pivot row of Householder i
     yr = np.where(F.piv >= 0, y[np.maximum(F.piv, 0)], 0.0)
-    z = usolve(F.R, yr)
+    if F.rank_est < S.n:
+        z = _usolve_basic(F.R, yr, F.tol)
+    else:
+        z = usolve(F.R, yr)
     x = np.empty(S.n)
     x[S.q] = z
+    return x
+
+
+def _usolve_basic(U: CSC, b: np.ndarray, tol: float) -> np.ndarray:
+    """Upper solve that zeroes dead pivots (|U[k,k]| <= tol) — the basic
+    least-squares solution for rank-deficient R (SuiteSparseQR.cpp rank
+    handling)."""
+    x = np.array(b, dtype=np.float64, copy=True)
+    Up, Ui, Ux = U.indptr, U.indices, U.data
+    for j in range(U.ncol - 1, -1, -1):
+        p0, p1 = Up[j], Up[j + 1]
+        d = Ux[p1 - 1] if p1 > p0 else 0.0
+        if abs(d) <= tol:
+            x[j] = 0.0
+            continue
+        x[j] = x[j] / d
+        if p1 - 1 > p0:
+            rows = Ui[p0:p1 - 1]
+            x[rows] -= Ux[p0:p1 - 1] * x[j]
     return x
 
 

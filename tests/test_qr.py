@@ -94,3 +94,28 @@ def test_reference_qr_fixtures(name):
     r_got = np.linalg.norm(D.T @ (D @ x - b))
     r_ref = np.linalg.norm(D.T @ (D @ x_ref - b))
     assert r_got <= r_ref + 1e-6 * np.linalg.norm(b)
+
+
+def test_rank_deficient_basic_solution():
+    """Rank-deficient least squares returns the finite BASIC solution (dead
+    pivots zeroed — SuiteSparseQR's rank-detection contract)."""
+    import numpy as np
+    import suitesparse_tpu as sst
+    from suitesparse_tpu.sparse import from_dense
+
+    D = np.zeros((8, 4))
+    D[:, 0] = 1.0
+    D[:, 1] = 1.0            # duplicate column -> rank deficiency
+    D[:4, 2] = np.arange(1, 5)
+    D[4:, 3] = 2.0
+    A = from_dense(D)
+    b = np.arange(1.0, 9.0)
+    x = sst.qrsol(A, b)
+    assert np.isfinite(x).all()
+    # least-squares optimality: A'(Ax - b) ~ 0 on the range space
+    r = D @ x - b
+    g = D.T @ r
+    # the gradient may be nonzero only along the null space direction fixed
+    # to zero; check the residual norm matches the lstsq optimum
+    ropt = D @ np.linalg.lstsq(D, b, rcond=None)[0] - b
+    assert np.linalg.norm(r) <= np.linalg.norm(ropt) * (1 + 1e-8) + 1e-8
