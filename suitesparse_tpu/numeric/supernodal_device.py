@@ -333,9 +333,8 @@ def _onehot_place(P, X, dtype, precision):
     was measured SLOWER end-to-end: the per-term converts/subtracts plus the
     optimization barriers needed to stop XLA's excess-precision round-trip
     folding cost more than the saved passes at these shapes."""
-    import jax.numpy as jnp
-
     import jax
+    import jax.numpy as jnp
 
     if X.dtype == jnp.bfloat16:
         if jax.default_backend() == "tpu":
