@@ -177,3 +177,22 @@ def test_bf16_updates_with_refinement():
     assert r0 < 1e-1            # bf16 updates alone: coarse but sane
     assert r < 1e-5             # refinement recovers accuracy
     assert r <= r0
+
+
+def test_factor_many_values_change():
+    """analyze-once/factor-many: new values through the cached plan/program
+    (the _clow_data value map) give the updated factor."""
+    import suitesparse_tpu as sst
+    from suitesparse_tpu.numeric import supernodal_solve
+    from suitesparse_tpu.sparse import CSC
+
+    A = fixtures.laplacian_3d(7)
+    S = analyze_supernodal(A, amd_order(A))
+    b = 1.0 + np.arange(A.ncol) / A.ncol
+    F1 = supernodal_device.factorize_device(A, S)
+    x1 = supernodal_solve.solve_device(F1, b)
+    A2 = CSC(A.nrow, A.ncol, A.indptr, A.indices, A.data * 2.0, A.sym)
+    F2 = supernodal_device.factorize_device(A2, S)
+    x2 = supernodal_solve.solve_device(F2, b)
+    assert sst.residual_norm(A2, x2, b) < 1e-3
+    np.testing.assert_allclose(x2, x1 / 2.0, atol=1e-4)
