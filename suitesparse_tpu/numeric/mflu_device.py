@@ -261,16 +261,30 @@ def _run_lu_plan(plan: LUPlan, Cdata, dtype, precision=None):
             jnp.concatenate(perms))
 
 
+def _cg_data(A: CSC, S: SupernodalSymbolic) -> np.ndarray:
+    """Values of _perm_general(A, S) via a cached position map (steady-state
+    factor-many does no per-call host symbolic work, like _clow_data)."""
+    from .multifrontal_lu import _perm_general
+
+    cache = getattr(S, "_cg_map", None)
+    if cache is None or cache[0] != A.nnz:
+        trace = CSC(A.nrow, A.ncol, A.indptr, A.indices,
+                    np.arange(A.nnz, dtype=np.float64), A.sym)
+        Cg = _perm_general(trace, S)
+        S._cg_map = (A.nnz, Cg.data.astype(np.int64))
+    return A.data[S._cg_map[1]]
+
+
 def factorize_lu_device(A: CSC, S: SupernodalSymbolic,
                         config: Config = DEFAULT) -> MFLUDeviceFactor:
     import jax
     import jax.numpy as jnp
     from .multifrontal_lu import _perm_general
 
-    Cg = _perm_general(A, S)
-    CgT = Cg.transpose()
     plan = getattr(S, "_mflu_dev_plan", None)
     if plan is None:
+        Cg = _perm_general(A, S)
+        CgT = Cg.transpose()
         plan = build_lu_plan(S, Cg, CgT)
         S._mflu_dev_plan = plan
         S._mflu_dev_fn = None
@@ -284,7 +298,7 @@ def factorize_lu_device(A: CSC, S: SupernodalSymbolic,
         fn = jax.jit(lambda cd: _run_lu_plan(plan, cd, dtype, prec))
         S._mflu_dev_fn = fn
         S._mflu_dev_dtype = dtype
-    Lp, Ut, perms = fn(jnp.asarray(Cg.data))
+    Lp, Ut, perms = fn(jnp.asarray(_cg_data(A, S)))
     minor = S.n
     if not (bool(jnp.isfinite(Lp).all()) and bool(jnp.isfinite(Ut).all())):
         minor = 0  # located precisely on the host path if needed
