@@ -278,7 +278,10 @@ def qrsol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
     Householder QR."""
     m, n = A.shape
     if m >= n:
-        if m * n >= 1 << 16:  # device path pays off past trivial sizes
+        if (m * n >= 1 << 16 and not np.iscomplexobj(A.data)
+                and not np.iscomplexobj(b)):
+            # device path pays off past trivial sizes (real-only, like the
+            # reference's GPU path — complex stays on the host kernels)
             try:
                 from .mfqr_device import mfqrsol_device
                 return mfqrsol_device(A, b, config)
