@@ -21,7 +21,24 @@ import functools
 
 import numpy as np
 
-__all__ = ["batched_trisolve"]
+__all__ = ["batched_trisolve", "trisolve_fits"]
+
+_VMEM_BUDGET = 10e6
+
+
+def _tile_lanes(C: int, NR: int, itemsize: int) -> int:
+    """Largest lane-multiple batch tile fitting the VMEM budget (0 if none)."""
+    per_lane = 2 * (C * C + 2 * C * NR) * itemsize
+    return int(_VMEM_BUDGET // max(per_lane, 1)) // 128 * 128
+
+
+def trisolve_fits(C: int, NR: int, dtype) -> bool:
+    """True iff a (C, C) x (C, NR) batched trisolve tile fits in VMEM.
+
+    NR-aware analog of ``solve_step.step_fits`` — callers must check this
+    before routing to the Pallas kernel (multi-RHS solves can exceed the
+    budget even when the factorization-time ``(C, C)`` tile fit)."""
+    return _tile_lanes(C, NR, np.dtype(dtype).itemsize) >= 128
 
 
 def _kernel(l_ref, y_ref, x_ref, *, C: int, NR: int, transpose: bool):
@@ -100,9 +117,11 @@ def batched_trisolve(L, Y, transpose: bool = False,
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     dtype = L.dtype
-    per_lane = 2 * (C * C + 2 * C * NR) * np.dtype(dtype).itemsize
-    BB = int(10e6 // max(per_lane, 1)) // 128 * 128
-    assert BB >= 128, "tile too large for VMEM; caller must use the XLA path"
+    BB = _tile_lanes(C, NR, np.dtype(dtype).itemsize)
+    if BB < 128:
+        # tile too large for VMEM — degrade to the XLA solve rather than fail
+        return jax.lax.linalg.triangular_solve(
+            L, Y, left_side=True, lower=True, transpose_a=transpose)
     BB = min(1024, BB)
     nb = -(-B // BB)
     pad = nb * BB - B

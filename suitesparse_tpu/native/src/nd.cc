@@ -184,6 +184,10 @@ void refine(const Graph& g, std::vector<char>& side,
     }
     std::fill(moved.begin(), moved.end(), 0);
     moves.clear();
+    // balance-infeasible pops wait per side; a move shifting weight toward
+    // a side re-opens that side's deferred vertices (they re-enter the heap
+    // and the stale-gain check re-validates them)
+    std::vector<i64> deferred[2];
     i64 delta = 0, best_delta = 0, best_len = 0, w0_run = w0, best_w0 = w0;
     while (!heap.empty()) {
       std::pop_heap(heap.begin(), heap.end());
@@ -191,12 +195,22 @@ void refine(const Graph& g, std::vector<char>& side,
       heap.pop_back();
       if (moved[v] || gv != gain[v]) continue;  // stale
       i64 nw0 = side[v] == 0 ? w0_run - g.vwgt[v] : w0_run + g.vwgt[v];
-      if (nw0 < lo || nw0 > hi) continue;      // infeasible now; maybe later
+      if (nw0 < lo || nw0 > hi) {              // infeasible now; retry when
+        deferred[side[v]].push_back(v);        // balance shifts this way
+        continue;
+      }
       moved[v] = 1;
       side[v] ^= 1;
       w0_run = nw0;
       delta += gv;
       moves.push_back(v);
+      // side[v] is post-flip: weight moved TO side[v], so vertices deferred
+      // on side[v] (whose departure was blocked by that side being too
+      // light) may be feasible now
+      if (!deferred[side[v]].empty()) {
+        for (i64 u : deferred[side[v]]) if (!moved[u]) push(u);
+        deferred[side[v]].clear();
+      }
       if (delta > best_delta) {
         best_delta = delta;
         best_len = (i64)moves.size();

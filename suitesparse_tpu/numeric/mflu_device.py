@@ -266,12 +266,13 @@ def _cg_data(A: CSC, S: SupernodalSymbolic) -> np.ndarray:
     factor-many does no per-call host symbolic work, like _clow_data)."""
     from .multifrontal_lu import _perm_general
 
+    key = A.pattern_key()
     cache = getattr(S, "_cg_map", None)
-    if cache is None or cache[0] != A.nnz:
+    if cache is None or cache[0] != key:
         trace = CSC(A.nrow, A.ncol, A.indptr, A.indices,
                     np.arange(A.nnz, dtype=np.float64), A.sym)
         Cg = _perm_general(trace, S)
-        S._cg_map = (A.nnz, Cg.data.astype(np.int64))
+        S._cg_map = (key, Cg.data.astype(np.int64))
     return A.data[S._cg_map[1]]
 
 

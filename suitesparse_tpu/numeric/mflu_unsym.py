@@ -353,12 +353,13 @@ def lu_unsym_solve_device(A: CSC, b: np.ndarray,
     bb = b.reshape(-1, 1) if b.ndim == 1 else b
     bb = bb[SL.rowpre]
     nrhs = bb.shape[1]
+    dtype = jnp.float64 if (config.compute_dtype == "float64"
+                            and jax.config.jax_enable_x64) else jnp.float32
     cache = getattr(SL, "_dev_cache", None)
-    if cache is None or cache[0] != (nrhs, config.precision):
+    if cache is None or cache[0] != (nrhs, config.precision, str(dtype)):
         Aq = A.permuted(SL.rowpre, SQ.q)
         plan = build_lu_unsym_plan(SL, Aq, nrhs)
         SQ._dev_plan = plan
-        dtype = jnp.float32
         prec = {"highest": jax.lax.Precision.HIGHEST,
                 "high": jax.lax.Precision.HIGH,
                 "default": jax.lax.Precision.DEFAULT}[config.precision]
@@ -368,7 +369,7 @@ def lu_unsym_solve_device(A: CSC, b: np.ndarray,
         trace = CSC(A.nrow, A.ncol, A.indptr, A.indices,
                     np.arange(A.nnz, dtype=np.float64), 0)
         vmap = trace.permuted(SL.rowpre, SQ.q).data.astype(np.int64)
-        SL._dev_cache = ((nrhs, config.precision), fn, vmap)
+        SL._dev_cache = ((nrhs, config.precision, str(dtype)), fn, vmap)
     _, fn, vmap = SL._dev_cache
     panels = fn(jnp.asarray(A.data[vmap]), jnp.asarray(bb.ravel()))
     ok = bool(jnp.isfinite(panels).all())

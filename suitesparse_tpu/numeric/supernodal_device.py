@@ -458,12 +458,13 @@ def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None, udtype=None,
 def _clow_data(A: CSC, S: SupernodalSymbolic) -> np.ndarray:
     """Values of symperm(A, perm).transpose() via a cached position map —
     the steady-state factor-many path does NO per-call symbolic work."""
+    key = A.pattern_key()
     cache = getattr(S, "_clow_map", None)
-    if cache is None or cache[0] != A.nnz:
+    if cache is None or cache[0] != key:
         trace = CSC(A.nrow, A.ncol, A.indptr, A.indices,
                     np.arange(A.nnz, dtype=np.float64), A.sym)
         C_low = trace.symperm(S.perm).transpose()
-        S._clow_map = (A.nnz, C_low.data.astype(np.int64))
+        S._clow_map = (key, C_low.data.astype(np.int64))
     return A.data[S._clow_map[1]]
 
 

@@ -156,8 +156,9 @@ def _solve_fn(plan: SolvePlan, Lx, b, dtype):
     from .supernodal_device import _use_potrf_kernel
 
     def trisolve(L11, yc, g, transpose):
-        if _use_potrf_kernel(dtype, g.B, g.C):
-            from ..kernels.trisolve import batched_trisolve
+        from ..kernels.trisolve import batched_trisolve, trisolve_fits
+        if _use_potrf_kernel(dtype, g.B, g.C) and trisolve_fits(
+                g.C, yc.shape[2], dtype):
             return batched_trisolve(L11, yc, transpose=transpose)
         return jax.lax.linalg.triangular_solve(
             L11, yc, left_side=True, lower=True, transpose_a=transpose)
@@ -215,8 +216,9 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
     from .supernodal_device import _use_potrf_kernel
 
     def trisolve(L11, yc, g, transpose):
-        if _use_potrf_kernel(dtype, g.B, g.C):
-            from ..kernels.trisolve import batched_trisolve
+        from ..kernels.trisolve import batched_trisolve, trisolve_fits
+        if _use_potrf_kernel(dtype, g.B, g.C) and trisolve_fits(
+                g.C, yc.shape[2], dtype):
             return batched_trisolve(L11, yc, transpose=transpose)
         return jax.lax.linalg.triangular_solve(
             L11, yc, left_side=True, lower=True, transpose_a=transpose)

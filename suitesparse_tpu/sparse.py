@@ -76,6 +76,23 @@ class CSC:
         return CSC(self.nrow, self.ncol, self.indptr.copy(), self.indices.copy(),
                    self.data.copy(), self.sym)
 
+    def pattern_key(self) -> tuple:
+        """Cheap pattern fingerprint: (nnz, sym, crc32(indptr||indices)).
+
+        Cache key for the analyze-once/factor-many value maps — two matrices
+        of equal nnz but different pattern must never share a cached position
+        map (would silently gather wrong values). crc32 runs ~1.3 ms/500k
+        int64 entries; memoized per indices-array identity."""
+        import zlib
+
+        memo = getattr(self, "_pat_key", None)
+        if memo is None or memo[0] is not self.indices:
+            crc = zlib.crc32(np.ascontiguousarray(self.indptr))
+            crc = zlib.crc32(np.ascontiguousarray(self.indices), crc)
+            memo = (self.indices, (self.nnz, self.sym, crc))
+            self._pat_key = memo
+        return memo[1]
+
     def check(self) -> None:
         """Structural invariant check (cholmod_check_sparse analog,
         reference ``CHOLMOD/Check/cholmod_check.c``)."""
