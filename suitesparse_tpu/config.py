@@ -72,6 +72,9 @@ class Config:
     lu_pivot_tol: float = 0.001      # diagonal-preference threshold (klu tol)
     lu_memgrow: float = 1.2
     lu_btf: bool = True
+    # maxtrans work budget, multiples of nnz; <=0 = unlimited (klu maxwork /
+    # reference btf.h:206)
+    btf_work_limit: float = -1.0
     lu_scale: int = 2                # 0 none, 1 row-sum, 2 row-max (klu scale)
     halt_if_singular: bool = True
 

@@ -270,15 +270,17 @@ def col_counts(n: int, nrow: int, indptr: np.ndarray, indices: np.ndarray,
 
 
 def maxtrans(nrow: int, ncol: int, indptr: np.ndarray,
-             indices: np.ndarray) -> tuple[int, np.ndarray]:
-    """Maximum transversal (row match for each column); -1 = unmatched."""
+             indices: np.ndarray,
+             work_limit: float = -1.0) -> tuple[int, np.ndarray]:
+    """Maximum transversal (row match for each column); -1 = unmatched.
+    ``work_limit`` > 0 caps DFS work at work_limit*nnz (btf.h:206)."""
     dll = _load()
     assert dll is not None
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
     indices = np.ascontiguousarray(indices, dtype=np.int64)
     match = np.empty(ncol, dtype=np.int64)
     nmatch = dll.sstpu_maxtrans(nrow, ncol, _ptr_i64(indptr), _ptr_i64(indices),
-                                _ptr_i64(match), ctypes.c_double(-1.0))
+                                _ptr_i64(match), ctypes.c_double(work_limit))
     return int(nmatch), match
 
 

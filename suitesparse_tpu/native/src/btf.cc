@@ -12,8 +12,14 @@
 // Returns the number of matched columns. Depth-first augmenting paths with a
 // per-column "cheap" pointer so unmatched-row probing scans each column list
 // at most once across the whole run (MC21 style).
+//
+// work_limit > 0 bounds the augmenting-path work to work_limit * nnz edge
+// examinations (the reference btf.h:206 maxwork contract — maxtrans is
+// O(n*nnz) worst-case and pathological matrices need the budget). Once the
+// budget is spent, remaining columns get only the O(nnz)-total cheap phase,
+// so the matching may be suboptimal but the run stays near-linear.
 SSTPU_API i64 sstpu_maxtrans(i64 nrow, i64 ncol, const i64* Ap, const i64* Ai,
-                             i64* match, double /*work_limit*/) {
+                             i64* match, double work_limit) {
   std::vector<i64> rowmatch(nrow, -1);   // column matched to each row
   std::vector<i64> cheap(ncol);          // next unscanned entry per column
   std::vector<i64> visited(ncol, -1);    // DFS stamp
@@ -22,12 +28,19 @@ SSTPU_API i64 sstpu_maxtrans(i64 nrow, i64 ncol, const i64* Ap, const i64* Ai,
   std::vector<i64> rowused(ncol);        // row used to descend from frame t
   for (i64 j = 0; j < ncol; j++) { match[j] = -1; cheap[j] = Ap[j]; }
 
+  i64 nnz = Ap[ncol];
+  i64 budget = work_limit > 0
+      ? (i64)std::min(work_limit * (double)std::max<i64>(nnz, 1), 9e18)
+      : -1;
+  i64 work = 0;
+
   i64 nmatched = 0;
   for (i64 jroot = 0; jroot < ncol; jroot++) {
     if (match[jroot] != -1) continue;
     i64 top = 0;
     cstack[0] = jroot;
     i64 final_row = -1;
+    bool budget_spent = (budget >= 0 && work > budget);
     while (top >= 0 && final_row == -1) {
       i64 j = cstack[top];
       if (visited[j] != jroot) {
@@ -40,9 +53,11 @@ SSTPU_API i64 sstpu_maxtrans(i64 nrow, i64 ncol, const i64* Ap, const i64* Ai,
         if (p < Ap[j + 1]) { final_row = Ai[p]; break; }
         es[top] = Ap[j];
       }
+      if (budget_spent) break;  // cheap-only mode: no DFS descent
       // exhaustive phase: steal a row from another column via DFS
       bool descended = false;
       while (es[top] < Ap[j + 1]) {
+        work++;
         i64 i = Ai[es[top]++];
         i64 jn = rowmatch[i];
         if (visited[jn] == jroot) continue;

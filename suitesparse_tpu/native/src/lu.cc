@@ -31,6 +31,13 @@ SSTPU_API i64 sstpu_lu_factor(i64 n, const i64* Ap, const i64* Ai,
   std::vector<i64> rstack(n), estack(n), topo(n);
   std::vector<i64> pattern;            // unassigned (L) rows of this column
   pattern.reserve(64);
+  // Eisenstat-Liu symmetric pruning (the klu_kernel.c:7 device): once a
+  // later pivot row is found in column j AND U(j,k)!=0, the not-yet-pivotal
+  // rows of column j are unreachable-first via j (any reach continues
+  // through column k instead), so the symbolic DFS may scan only the
+  // pivotal prefix. lpend[j] = exclusive end of the pruned scan range,
+  // -1 = not pruned (scan the whole column).
+  std::vector<i64> lpend(n, -1);
 
   // During factorization L rows are ORIGINAL row ids (pinv of future pivots
   // unknown); converted to pivot space at the end.
@@ -63,7 +70,8 @@ SSTPU_API i64 sstpu_lu_factor(i64 n, const i64* Ap, const i64* Ai,
         bool descended = false;
         // skip the unit diagonal (first entry of column j)
         if (estack[top] == Lp[j]) estack[top]++;
-        while (estack[top] < Lp[j + 1]) {
+        i64 jend = (lpend[j] >= 0) ? lpend[j] : Lp[j + 1];
+        while (estack[top] < jend) {
           i64 rnext = Li[estack[top]++];
           if (!marked[rnext]) {
             rstack[++top] = rnext;
@@ -150,6 +158,26 @@ SSTPU_API i64 sstpu_lu_factor(i64 n, const i64* Ap, const i64* Ai,
     // ---- reset workspace ----
     for (i64 t = 0; t < ntopo; t++) { marked[topo[t]] = 0; x[topo[t]] = 0.0; }
     for (i64 r : pattern) { marked[r] = 0; x[r] = 0.0; }
+
+    // ---- Eisenstat-Liu prune: for each U(j,k)!=0 with prow in L(:,j),
+    // partition column j so pivotal rows come first; future DFS scans only
+    // that prefix. The unit diagonal at Lp[j] is pivotal and stays put.
+    for (i64 t = 0; t < ntopo; t++) {
+      i64 j = pinv[topo[t]];
+      if (lpend[j] >= 0) continue;           // already pruned
+      bool found = false;
+      for (i64 p = Lp[j] + 1; p < Lp[j + 1]; p++)
+        if (Li[p] == prow) { found = true; break; }
+      if (!found) continue;
+      i64 head = Lp[j] + 1, tail = Lp[j + 1];
+      while (head < tail) {
+        if (pinv[Li[head]] >= 0) { head++; continue; }
+        tail--;
+        std::swap(Li[head], Li[tail]);
+        std::swap(Lx[head], Lx[tail]);
+      }
+      lpend[j] = tail;
+    }
   }
 
   // convert L row indices to pivot space

@@ -73,7 +73,7 @@ def analyze_lu(A: CSC, config: Config = DEFAULT) -> LUSymbolic:
     assert A.nrow == n, "LU requires square A"
     Ag = A.to_full_storage() if A.sym != 0 else A
     if config.lu_btf:
-        B = btf_order(Ag)
+        B = btf_order(Ag, work_limit=config.btf_work_limit)
     else:
         ident = np.arange(n, dtype=np.int64)
         B = BTF(rowperm=ident, colperm=ident.copy(),

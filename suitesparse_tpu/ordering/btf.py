@@ -18,13 +18,19 @@ from ..sparse import CSC
 __all__ = ["maxtrans", "strongcomp", "btf_order", "BTF"]
 
 
-def maxtrans(A: CSC) -> tuple[int, np.ndarray]:
+def maxtrans(A: CSC, work_limit: float = -1.0) -> tuple[int, np.ndarray]:
     """Maximum transversal. Returns (nmatch, match) with ``match[j]`` = row
-    matched to column j, or -1. ``nmatch`` is the structural rank."""
+    matched to column j, or -1. ``nmatch`` is the structural rank.
+
+    ``work_limit`` > 0 bounds augmenting-path work to ``work_limit * nnz``
+    edge examinations (reference ``btf.h:206`` maxwork contract); past the
+    budget, columns are matched by the cheap O(nnz) scan only and the
+    matching may be suboptimal (structural rank under-reported)."""
     from .. import native
     if native.available():
-        return native.maxtrans(A.nrow, A.ncol, A.indptr, A.indices)
-    return _maxtrans_python(A.nrow, A.ncol, A.indptr, A.indices)
+        return native.maxtrans(A.nrow, A.ncol, A.indptr, A.indices,
+                               work_limit)
+    return _maxtrans_python(A.nrow, A.ncol, A.indptr, A.indices, work_limit)
 
 
 def strongcomp(A: CSC) -> tuple[int, np.ndarray, np.ndarray]:
@@ -49,14 +55,14 @@ class BTF:
     structural_rank: int
 
 
-def btf_order(A: CSC) -> BTF:
+def btf_order(A: CSC, work_limit: float = -1.0) -> BTF:
     """Permutation to block upper triangular form (btf_order analog).
 
     First a maximum transversal puts a zero-free diagonal (if structurally
     nonsingular), then Tarjan SCC of the matched matrix finds the blocks."""
     n = A.ncol
     assert A.nrow == n, "btf_order requires square A"
-    nmatch, match = maxtrans(A)
+    nmatch, match = maxtrans(A, work_limit)
     if nmatch < n:
         # structurally singular: complete the matching arbitrarily
         used = np.zeros(n, dtype=bool)
@@ -80,19 +86,22 @@ def btf_order(A: CSC) -> BTF:
 
 # ---------------- Python oracles ----------------
 
-def _maxtrans_python(nrow: int, ncol: int, Ap: np.ndarray, Ai: np.ndarray
-                     ) -> tuple[int, np.ndarray]:
+def _maxtrans_python(nrow: int, ncol: int, Ap: np.ndarray, Ai: np.ndarray,
+                     work_limit: float = -1.0) -> tuple[int, np.ndarray]:
     match = np.full(ncol, -1, dtype=np.int64)
     rowmatch = np.full(nrow, -1, dtype=np.int64)
     cheap = Ap[:-1].astype(np.int64).copy()
     visited = np.full(ncol, -1, dtype=np.int64)
     nmatched = 0
+    budget = int(work_limit * max(int(Ap[-1]), 1)) if work_limit > 0 else -1
+    work = 0
     for jroot in range(ncol):
         # recursive-style DFS via explicit stacks
         cstack = [jroot]
         es = [int(Ap[jroot])]
         rowused = [-1]
         final_row = -1
+        budget_spent = budget >= 0 and work > budget
         while cstack and final_row == -1:
             j = cstack[-1]
             if visited[j] != jroot:
@@ -105,8 +114,11 @@ def _maxtrans_python(nrow: int, ncol: int, Ap: np.ndarray, Ai: np.ndarray
                     final_row = int(Ai[p])
                     break
                 es[-1] = int(Ap[j])
+            if budget_spent:
+                break          # cheap-only mode: no DFS descent
             descended = False
             while es[-1] < Ap[j + 1]:
+                work += 1
                 i = int(Ai[es[-1]])
                 es[-1] += 1
                 jn = int(rowmatch[i])

@@ -181,3 +181,45 @@ def test_umfpack_demo_set():
         x2 = mflusol(A, b)
         r2 = sst.residual_norm(A, x2, b)
         assert r2 < 1e-8, (fname, r2)
+
+
+def test_eisenstat_liu_pruning_same_factor():
+    """Pruned symbolic DFS must produce the same L/U values as an oracle
+    dense LU (pruning changes traversal, not the factorization)."""
+    import numpy as np
+    from suitesparse_tpu import sparse
+    from suitesparse_tpu.numeric.lu import factor_lu, lusol
+    from suitesparse_tpu.config import DEFAULT
+
+    rng = np.random.default_rng(11)
+    # arrow + band pattern: heavy symmetric structure, the pruning case
+    n = 80
+    M = np.diag(rng.standard_normal(n) + 4.0)
+    M[0, :] = rng.standard_normal(n)
+    M[:, 0] = rng.standard_normal(n)
+    for k in (1, 2, 3):
+        M += np.diag(rng.standard_normal(n - k), k)
+        M += np.diag(rng.standard_normal(n - k), -k)
+    A = sparse.from_dense(M)
+    b = rng.standard_normal(n)
+    x = lusol(A, b, DEFAULT)
+    assert np.abs(M @ x - b).max() < 1e-9
+
+
+def test_btf_work_limit_budget():
+    """work_limit > 0 must be honored (suboptimal matching allowed) and the
+    default unlimited path must find the full transversal."""
+    import numpy as np
+    from suitesparse_tpu import sparse
+    from suitesparse_tpu.ordering.btf import maxtrans
+
+    rng = np.random.default_rng(3)
+    n = 60
+    M = np.where(rng.random((n, n)) < 0.15, 1.0, 0.0)
+    M[np.arange(1, n), np.arange(n - 1)] = 1.0  # subdiagonal keeps it matched
+    A = sparse.from_dense(M)
+    full, _ = maxtrans(A)
+    tiny, _ = maxtrans(A, work_limit=1e-9)
+    assert tiny <= full
+    again, _ = maxtrans(A, work_limit=-1.0)
+    assert again == full
