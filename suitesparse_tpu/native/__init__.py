@@ -120,7 +120,7 @@ def _declare(dll) -> None:
         c, _i64, _i64, _f64,
         _i64, _i64, _f64, _i64, _i64, _f64, _i64,
     ])
-    maybe("sstpu_colamd", c, [c, c, _i64, _i64, _i64, d, d])
+    maybe("sstpu_colamd", c, [c, c, _i64, _i64, d, d, c, _i64, _i64])
     maybe("sstpu_nested_dissection", c, [c, _i64, _i64, _i64, c, c])
     maybe("sstpu_nested_dissection_sets", c, [c, _i64, _i64, _i64, c, c, _i64])
     maybe("sstpu_edgecut", c, [c, _i64, _i64, _i64, d, d, c, _i64])
@@ -170,15 +170,24 @@ def camd(indptr: np.ndarray, indices: np.ndarray, n: int, cset: np.ndarray,
 
 
 def colamd(nrow: int, ncol: int, indptr: np.ndarray, indices: np.ndarray,
-           dense_row: float = 10.0, dense_col: float = 10.0) -> np.ndarray:
+           dense_row: float = 10.0, dense_col: float = 10.0,
+           aggressive: bool = True,
+           cmember: np.ndarray | None = None) -> np.ndarray:
+    """Row-list column approximate minimum degree (COLAMD; CCOLAMD when
+    ``cmember`` is given). Returns q with q[k] = kth column."""
     dll = _load()
     assert dll is not None
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
     indices = np.ascontiguousarray(indices, dtype=np.int64)
     perm = np.empty(ncol, dtype=np.int64)
+    cm = (None if cmember is None
+          else np.ascontiguousarray(cmember, dtype=np.int64))
     rc = dll.sstpu_colamd(nrow, ncol, _ptr_i64(indptr), _ptr_i64(indices),
-                          _ptr_i64(perm), ctypes.c_double(dense_row),
-                          ctypes.c_double(dense_col))
+                          ctypes.c_double(dense_row),
+                          ctypes.c_double(dense_col),
+                          1 if aggressive else 0,
+                          _ptr_i64(cm) if cm is not None else None,
+                          _ptr_i64(perm))
     assert rc == 0, f"native colamd failed rc={rc}"
     return perm
 

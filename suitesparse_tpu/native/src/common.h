@@ -9,5 +9,6 @@
 #include <algorithm>
 
 using i64 = int64_t;
+using u64 = uint64_t;
 
 #define SSTPU_API extern "C" __attribute__((visibility("default")))
