@@ -125,6 +125,13 @@ def _declare(dll) -> None:
     maybe("sstpu_nested_dissection_sets", c, [c, _i64, _i64, _i64, c, c, _i64])
     maybe("sstpu_edgecut", c, [c, _i64, _i64, _i64, d, d, c, _i64])
     maybe("sstpu_camd", c, [c, _i64, _i64, _i64, _i64, c])
+    vp = ctypes.c_void_p
+    maybe("sstpu_super_analyze", vp,
+          [c, _i64, _i64, _i64, _i64, c, c, c, d, d, d])
+    maybe("sstpu_super_result", c, [vp, c, _i64])
+    maybe("sstpu_super_fl", d, [vp])
+    maybe("sstpu_super_maxcsize", c, [vp])
+    maybe("sstpu_super_free", None, [vp])
 
 
 def available() -> bool:
@@ -305,3 +312,38 @@ def strongcomp(n: int, indptr: np.ndarray, indices: np.ndarray
     nb = dll.sstpu_strongcomp(n, _ptr_i64(indptr), _ptr_i64(indices),
                               _ptr_i64(p), _ptr_i64(r))
     return int(nb), p, r[:nb + 1].copy()
+
+
+def super_analyze(n: int, Cp: np.ndarray, Ci: np.ndarray,
+                  parent: np.ndarray, cc: np.ndarray,
+                  nrelax, zrelax) -> dict:
+    """Native supernodal symbolic analysis (cholmod_super_symbolic analog).
+
+    ``Cp/Ci`` = LOWER-triangle pattern by columns of the postordered permuted
+    matrix. Returns the full analysis as numpy arrays."""
+    dll = _load()
+    assert dll is not None and hasattr(dll, "sstpu_super_analyze")
+    Cp = np.ascontiguousarray(Cp, dtype=np.int64)
+    Ci = np.ascontiguousarray(Ci, dtype=np.int64)
+    parent = np.ascontiguousarray(parent, dtype=np.int64)
+    cc = np.ascontiguousarray(cc, dtype=np.int64)
+    h = dll.sstpu_super_analyze(
+        n, _ptr_i64(Cp), _ptr_i64(Ci), _ptr_i64(parent), _ptr_i64(cc),
+        int(nrelax[0]), int(nrelax[1]), int(nrelax[2]),
+        ctypes.c_double(zrelax[0]), ctypes.c_double(zrelax[1]),
+        ctypes.c_double(zrelax[2]))
+    assert h, "super_analyze failed"
+    try:
+        out = {}
+        names = ["super_first", "snode_of_col", "sparent", "level_of",
+                 "rows_ptr", "rows", "lpx"]
+        for what, name in enumerate(names):
+            ln = dll.sstpu_super_result(h, what, None)
+            arr = np.empty(ln, dtype=np.int64)
+            dll.sstpu_super_result(h, what, _ptr_i64(arr))
+            out[name] = arr
+        out["fl"] = float(dll.sstpu_super_fl(h))
+        out["maxcsize"] = int(dll.sstpu_super_maxcsize(h))
+    finally:
+        dll.sstpu_super_free(h)
+    return out

@@ -152,8 +152,14 @@ i64 cut_weight(const Graph& g, const std::vector<char>& side) {
 // most once in best-gain order (negative-gain moves allowed — hill climbing),
 // then roll back to the best balanced prefix. Lazy max-heap with stale-entry
 // invalidation instead of METIS's gain buckets (weighted edges).
+// ``cand0`` (optional) limits the initial gain scan to a candidate vertex
+// list — during uncoarsening only the projection of the coarse boundary can
+// start on the cut, so scanning the whole fine graph per pass (the profiled
+// 68% of ND time) is wasted; interior vertices get exact gains lazily when
+// a neighbor's move first touches them.
 void refine(const Graph& g, std::vector<char>& side,
-            double flo = 0.45, double fhi = 0.55) {
+            double flo = 0.45, double fhi = 0.55,
+            const std::vector<i64>* cand0 = nullptr) {
   if (g.n == 0) return;
   i64 w0 = 0;
   for (i64 v = 0; v < g.n; v++) if (side[v] == 0) w0 += g.vwgt[v];
@@ -161,26 +167,36 @@ void refine(const Graph& g, std::vector<char>& side,
   i64 lo = (i64)(flo * W), hi = (i64)(fhi * W) + 1;
   std::vector<i64> gain(g.n);
   std::vector<char> moved(g.n);
+  std::vector<i64> gstamp(g.n, 0);  // gain[v] valid iff gstamp[v] == pass+1
   std::vector<i64> moves;
   moves.reserve(g.n);
   std::vector<std::pair<i64, i64>> heap;  // (gain, v), lazy
   auto push = [&](i64 v) { heap.push_back({gain[v], v});
     std::push_heap(heap.begin(), heap.end()); };
+  auto compute_gain = [&](i64 v) {
+    i64 ext = 0, in = 0;
+    for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
+      i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
+      if (side[g.adj[p]] != side[v]) ext += w; else in += w;
+    }
+    gain[v] = ext - in;
+    return ext;
+  };
   // most of the cut reduction lands in the first passes; large graphs cap
-  // the pass count (the per-pass gain scan is O(m))
+  // the pass count (the per-pass gain scan is O(candidates))
   int max_pass = g.n > 20000 ? 2 : (g.n > 2000 ? 4 : 6);
+  std::vector<i64> cand;  // candidates for the CURRENT pass
+  if (cand0) cand = *cand0;
+  else { cand.resize(g.n); for (i64 v = 0; v < g.n; v++) cand[v] = v; }
+  std::vector<i64> next_cand;
+  std::vector<char> in_next(cand0 ? g.n : 0, 0);
   for (int pass = 0; pass < max_pass; pass++) {
-    // boundary-only heap (METIS-style): interior vertices can only become
-    // candidates when a neighbor moves, and the move loop pushes them then
+    i64 tick = pass + 1;
     heap.clear();
-    for (i64 v = 0; v < g.n; v++) {
-      i64 ext = 0, in = 0;
-      for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
-        i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
-        if (side[g.adj[p]] != side[v]) ext += w; else in += w;
-      }
-      gain[v] = ext - in;
-      if (ext > 0) push(v);
+    for (i64 v : cand) {
+      if (gstamp[v] == tick) continue;  // duplicate in candidate list
+      gstamp[v] = tick;
+      if (compute_gain(v) > 0) push(v);
     }
     std::fill(moved.begin(), moved.end(), 0);
     moves.clear();
@@ -189,6 +205,10 @@ void refine(const Graph& g, std::vector<char>& side,
     // and the stale-gain check re-validates them)
     std::vector<i64> deferred[2];
     i64 delta = 0, best_delta = 0, best_len = 0, w0_run = w0, best_w0 = w0;
+    // FM early termination (METIS-style): unbounded hill climbing lets one
+    // pass cascade across the whole graph; cap the non-improving streak
+    i64 since_best = 0;
+    const i64 streak_limit = std::max<i64>(100, g.n / 64);
     while (!heap.empty()) {
       std::pop_heap(heap.begin(), heap.end());
       auto [gv, v] = heap.back();
@@ -215,13 +235,23 @@ void refine(const Graph& g, std::vector<char>& side,
         best_delta = delta;
         best_len = (i64)moves.size();
         best_w0 = w0_run;
+        since_best = 0;
+      } else if (++since_best > streak_limit) {
+        break;
       }
       for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
         i64 u = g.adj[p];
         if (moved[u]) continue;
-        i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
-        // v left u's side -> u's external weight grew (or shrank)
-        gain[u] += (side[u] == side[v]) ? -2 * w : 2 * w;
+        if (gstamp[u] != tick) {
+          // lazily touched interior vertex: compute its exact gain now
+          // (side[v] already flipped, so compute_gain sees current state)
+          gstamp[u] = tick;
+          compute_gain(u);
+        } else {
+          i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
+          // v left u's side -> u's external weight grew (or shrank)
+          gain[u] += (side[u] == side[v]) ? -2 * w : 2 * w;
+        }
         push(u);
       }
     }
@@ -230,6 +260,17 @@ void refine(const Graph& g, std::vector<char>& side,
       side[moves[k]] ^= 1;
     w0 = best_w0;
     if (best_delta <= 0) break;
+    if (cand0) {
+      // next pass: old candidates + everything this pass touched
+      next_cand.clear();
+      for (i64 v : cand) if (!in_next[v]) { in_next[v] = 1;
+        next_cand.push_back(v); }
+      for (i64 v = 0; v < g.n; v++)
+        if (gstamp[v] == tick && !in_next[v]) { in_next[v] = 1;
+          next_cand.push_back(v); }
+      for (i64 v : next_cand) in_next[v] = 0;
+      cand.swap(next_cand);
+    }
   }
 }
 
@@ -262,22 +303,47 @@ void separator(const Graph& g, const std::vector<char>& side,
       if (side[u] != side[v]) adj[iu].push_back(lid[u]);
     }
   }
-  // max bipartite matching (augmenting DFS)
+  // max bipartite matching — iterative augmenting DFS (the recursive
+  // std::function version profiled at ~20% of whole-ND time)
   std::vector<i64> mu(nu, -1), mv(nv, -1);
   std::vector<i64> seen(nv, -1);
-  std::function<bool(i64, i64)> aug = [&](i64 iu, i64 stamp) -> bool {
-    for (i64 iv : adj[iu]) {
-      if (seen[iv] == stamp) continue;
-      seen[iv] = stamp;
-      if (mv[iv] == -1 || aug(mv[iv], stamp)) {
-        mu[iu] = iv;
-        mv[iv] = iu;
-        return true;
+  std::vector<i64> ustack, eidx, vpath;
+  for (i64 root = 0; root < nu; root++) {
+    i64 stamp = root;
+    ustack.assign(1, root);
+    eidx.assign(1, 0);
+    vpath.assign(1, -1);  // V-vertex used to reach ustack[d] (d>0)
+    bool found = false;
+    while (!ustack.empty()) {
+      i64 iu = ustack.back();
+      i64& e = eidx.back();
+      bool descended = false;
+      while (e < (i64)adj[iu].size()) {
+        i64 iv = adj[iu][e++];
+        if (seen[iv] == stamp) continue;
+        seen[iv] = stamp;
+        if (mv[iv] == -1) {
+          // augment along the path
+          mu[iu] = iv;
+          mv[iv] = iu;
+          for (i64 d = (i64)ustack.size() - 1; d > 0; d--) {
+            i64 pu = ustack[d - 1], pv = vpath[d];
+            mu[pu] = pv;
+            mv[pv] = pu;
+          }
+          found = true;
+          break;
+        }
+        ustack.push_back(mv[iv]);
+        eidx.push_back(0);
+        vpath.push_back(iv);
+        descended = true;
+        break;
       }
+      if (found) break;
+      if (!descended) { ustack.pop_back(); eidx.pop_back(); vpath.pop_back(); }
     }
-    return false;
-  };
-  for (i64 iu = 0; iu < nu; iu++) aug(iu, iu);
+  }
   // König: Z = U-vertices unmatched + all reachable by alternating paths
   std::vector<char> zu(nu, 0), zv(nv, 0);
   std::vector<i64> stack;
@@ -401,10 +467,21 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
     if (levels.back().n <= 2) break;
   }
   for (i64 l = (i64)levels.size() - 2; l >= 0; l--) {
+    // coarse boundary -> fine candidate list (only boundary projections can
+    // start on the cut; refine() touches the rest lazily)
+    const Graph& cg = levels[l + 1];
+    std::vector<char> cbnd(cg.n, 0);
+    for (i64 v = 0; v < cg.n; v++)
+      for (i64 p = cg.xadj[v]; p < cg.xadj[v + 1]; p++)
+        if (side[cg.adj[p]] != side[v]) { cbnd[v] = 1; break; }
     std::vector<char> fine(levels[l].n);
-    for (i64 v = 0; v < levels[l].n; v++) fine[v] = side[cmaps[l][v]];
+    std::vector<i64> cand;
+    for (i64 v = 0; v < levels[l].n; v++) {
+      fine[v] = side[cmaps[l][v]];
+      if (cbnd[cmaps[l][v]]) cand.push_back(v);
+    }
     side.swap(fine);
-    refine(levels[l], side);
+    refine(levels[l], side, 0.45, 0.55, &cand);
   }
   Graph& fg = levels[0];
   std::vector<char> insep;
@@ -556,10 +633,19 @@ SSTPU_API i64 sstpu_edgecut(i64 n, const i64* Ap, const i64* Ai, i64* part,
     if (levels.back().n <= 2) break;
   }
   for (i64 l = (i64)levels.size() - 2; l >= 0; l--) {
+    const Graph& cg = levels[l + 1];
+    std::vector<char> cbnd(cg.n, 0);
+    for (i64 v = 0; v < cg.n; v++)
+      for (i64 p = cg.xadj[v]; p < cg.xadj[v + 1]; p++)
+        if (side[cg.adj[p]] != side[v]) { cbnd[v] = 1; break; }
     std::vector<char> fine(levels[l].n);
-    for (i64 v = 0; v < levels[l].n; v++) fine[v] = side[cmaps[l][v]];
+    std::vector<i64> cand;
+    for (i64 v = 0; v < levels[l].n; v++) {
+      fine[v] = side[cmaps[l][v]];
+      if (cbnd[cmaps[l][v]]) cand.push_back(v);
+    }
     side.swap(fine);
-    refine(levels[l], side, flo, fhi);
+    refine(levels[l], side, flo, fhi, &cand);
   }
   i64 w0 = 0;
   for (i64 v = 0; v < n; v++) { part[v] = side[v]; if (!side[v]) w0++; }

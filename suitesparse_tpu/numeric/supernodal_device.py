@@ -181,14 +181,155 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
             panel_off += len(ss) * R * C
         level_layouts.append(placed)
 
-    groups_all = []
-    for placed in level_layouts:
-        gplans = []
-        for (R, C, ss, pbase) in placed:
-            gplans.append(_build_group(S, C_low, ss, R, C, place, children,
-                                       pbase))
-        groups_all.append(gplans)
+    import os
+    if os.environ.get("SSTPU_PLAN_LOOPS", "0") == "1":
+        # legacy per-supernode loop builder (oracle for the vectorized path)
+        groups_all = []
+        for placed in level_layouts:
+            gplans = []
+            for (R, C, ss, pbase) in placed:
+                gplans.append(_build_group(S, C_low, ss, R, C, place,
+                                           children, pbase))
+            groups_all.append(gplans)
+        return Plan(groups=groups_all, lnz=S.lnz, dev_size=panel_off, _S=S)
+    groups_all = _build_groups_vectorized(S, C_low, level_layouts, place)
     return Plan(groups=groups_all, lnz=S.lnz, dev_size=panel_off, _S=S)
+
+
+def _build_groups_vectorized(S: SupernodalSymbolic, C_low: CSC,
+                             level_layouts, place):
+    """All GroupPlans in one sweep: one global searchsorted over
+    (snode, row) keys replaces the per-supernode/per-child Python loops
+    (which cost ~1.4 s at n=125k, VERDICT r1 item 4)."""
+    n = S.n
+    nsuper = S.nsuper
+    nc_of = (S.super_first[1:] - S.super_first[:-1]).astype(np.int64)
+    nr_of = np.array([len(S.rows[s]) for s in range(nsuper)], dtype=np.int64)
+    rows_ptr = np.zeros(nsuper + 1, dtype=np.int64)
+    np.cumsum(nr_of, out=rows_ptr[1:])
+    rows_cat = (np.concatenate(S.rows) if nsuper
+                else np.empty(0, np.int64))
+
+    # per-snode placement -> flat arrays; gid = global group index
+    slot_of = np.zeros(nsuper, dtype=np.int64)
+    gid_of = np.zeros(nsuper, dtype=np.int64)
+    R_of = np.zeros(nsuper, dtype=np.int64)
+    C_of = np.zeros(nsuper, dtype=np.int64)
+    gid_meta = []              # (level, gi, R, C, ss, pbase)
+    gid_key = {}               # (level, gi) -> gid
+    gid = 0
+    for d, placed in enumerate(level_layouts):
+        for gi, (R, C, ss, pbase) in enumerate(placed):
+            arr = np.asarray(ss, dtype=np.int64)
+            slot_of[arr] = np.arange(len(ss), dtype=np.int64)
+            gid_of[arr] = gid
+            R_of[arr] = R
+            C_of[arr] = C
+            gid_key[(d, gi)] = gid
+            gid_meta.append((d, gi, R, C, arr, pbase))
+            gid += 1
+    ngid = gid
+    RU_of_gid = np.array([m[2] - m[3] for m in gid_meta], dtype=np.int64)
+
+    # sorted global row-list key: snode blocks ascending, rows sorted within
+    stride = n + 1
+    rowkey = np.repeat(np.arange(nsuper, dtype=np.int64), nr_of) * stride \
+        + rows_cat
+
+    # ---- A entries: position of each C_low entry within its snode panel ----
+    ecols = np.repeat(np.arange(n, dtype=np.int64), np.diff(C_low.indptr))
+    esn = S.snode_of_col[ecols]
+    colk = ecols - S.super_first[esn]
+    pos = np.searchsorted(rowkey, esn * stride + C_low.indices) \
+        - rows_ptr[esn]
+    fc = np.where(pos < nc_of[esn], pos, C_of[esn] + (pos - nc_of[esn]))
+    adst_all = slot_of[esn] * R_of[esn] * R_of[esn] + fc * R_of[esn] + colk
+    egid = gid_of[esn]
+    order = np.lexsort((adst_all, egid))
+    asrc_all = order.astype(np.int32)            # source = entry index
+    adst_all = adst_all[order]
+    egid_sorted = egid[order]
+    e_counts = np.bincount(egid_sorted, minlength=ngid)
+    e_splits = np.zeros(ngid + 1, dtype=np.int64)
+    np.cumsum(e_counts, out=e_splits[1:])
+
+    # ---- extend-add pairs: child update rows -> parent front coords ----
+    ch = np.flatnonzero((S.sparent >= 0) & (nr_of > nc_of))
+    par = S.sparent[ch]
+    mu = nr_of[ch] - nc_of[ch]
+    seg = _ranges(rows_ptr[ch] + nc_of[ch], rows_ptr[ch + 1])
+    rows_c = rows_cat[seg] if seg.size else np.empty(0, np.int64)
+    par_rep = np.repeat(par, mu)
+    posp = np.searchsorted(rowkey, par_rep * stride + rows_c) \
+        - rows_ptr[par_rep]
+    fcp = np.where(posp < nc_of[par_rep], posp,
+                   C_of[par_rep] + (posp - nc_of[par_rep])).astype(np.int32)
+    # order children by (parent gid, child gid, parent slot) — matches the
+    # legacy builder's iteration + stable dst sort
+    pgid, cgid = gid_of[par], gid_of[ch]
+    ch_order = np.lexsort((slot_of[par], cgid, pgid))
+    mu_o = mu[ch_order]
+    # class boundaries over the sorted (pgid, cgid) pairs
+    pk = pgid[ch_order] * ngid + cgid[ch_order]
+    if pk.size:
+        cls_start = np.flatnonzero(np.concatenate([[True], pk[1:] != pk[:-1]]))
+        cls_end = np.concatenate([cls_start[1:], [pk.size]])
+    else:
+        cls_start = cls_end = np.empty(0, np.int64)
+    # fcp re-gathered into ch_order (one flat gather, no per-child slices)
+    seg_off = np.zeros(ch.size + 1, dtype=np.int64)
+    np.cumsum(mu, out=seg_off[1:])
+    if ch.size:
+        gidx = _ranges(seg_off[ch_order], seg_off[ch_order] + mu[ch_order])
+        fcp_sorted_flat = fcp[gidx]
+    else:
+        fcp_sorted_flat = np.empty(0, np.int32)
+    flat_off = np.zeros(ch.size + 1, dtype=np.int64)
+    np.cumsum(mu[ch_order] if ch.size else mu, out=flat_off[1:])
+
+    src_sorted = slot_of[ch][ch_order]
+    dst_sorted = slot_of[par][ch_order]
+    cgid_sorted = cgid[ch_order]
+    pgid_sorted = pgid[ch_order]
+
+    # assemble GroupPlans
+    groups_all = [[] for _ in level_layouts]
+    cls_by_pgid: dict = {}
+    for a, b in zip(cls_start, cls_end):
+        cls_by_pgid.setdefault(int(pgid_sorted[a]), []).append((int(a),
+                                                                int(b)))
+    cap_cells = 16 << 20
+    for g_id, (d, gi, R, C, ss, pbase) in enumerate(gid_meta):
+        B = len(ss)
+        lo, hi = int(e_splits[g_id]), int(e_splits[g_id + 1])
+        nc_arr = nc_of[ss].astype(np.int32)
+        pairs, pair_arrays = [], []
+        chunk = max(1, cap_cells // max(R * R, 1))
+        for (a, b) in cls_by_pgid.get(g_id, []):
+            c_gid = int(cgid_sorted[a])
+            dc, gic = gid_meta[c_gid][0], gid_meta[c_gid][1]
+            RU_c = int(RU_of_gid[c_gid])
+            npc = b - a
+            idx = np.full((npc, RU_c), -1, dtype=np.int32)
+            mus = mu_o[a:b]
+            rows_flat = np.repeat(np.arange(npc, dtype=np.int64), mus) * RU_c \
+                + _ranges(np.zeros(npc, np.int64), mus)
+            idx.ravel()[rows_flat] = \
+                fcp_sorted_flat[flat_off[a]:flat_off[b]]
+            src = src_sorted[a:b].astype(np.int32)
+            dst = dst_sorted[a:b].astype(np.int32)
+            for clo in range(0, npc, chunk):
+                chi = min(clo + chunk, npc)
+                pairs.append(PairClass(src_level=dc, src_gi=gic,
+                                       RU_c=RU_c, npairs=chi - clo))
+                pair_arrays.append((src[clo:chi], dst[clo:chi],
+                                    idx[clo:chi]))
+        g = GroupPlan(R=R, C=C, B=B, snodes=ss,
+                      asrc=asrc_all[lo:hi], adst=adst_all[lo:hi],
+                      nc=nc_arr, pairs=pairs, panel_base=pbase)
+        g._pair_arrays = pair_arrays
+        groups_all[d].append(g)
+    return groups_all
 
 
 def _build_group(S: SupernodalSymbolic, C_low: CSC, ss, R, C, place,

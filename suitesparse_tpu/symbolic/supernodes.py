@@ -90,6 +90,25 @@ def analyze_supernodal(A: CSC, perm: np.ndarray | None = None,
         post2 = np.arange(n)
     cc = col_counts(C, parent, np.arange(n, dtype=np.int64))
 
+    from .. import native
+    if native.available():
+        # native path (cholmod_super_symbolic-speed; Python below is oracle)
+        Clow = C.transpose(values=False)
+        r = native.super_analyze(n, Clow.indptr, Clow.indices, parent, cc,
+                                 config.nrelax, config.zrelax)
+        nsuper = len(r["super_first"]) - 1
+        rows_ptr, rows_cat = r["rows_ptr"], r["rows"]
+        rows = [rows_cat[rows_ptr[s]:rows_ptr[s + 1]] for s in range(nsuper)]
+        level_of = r["level_of"]
+        nlev = int(level_of.max()) + 1 if nsuper else 0
+        levels = [np.flatnonzero(level_of == d) for d in range(nlev)]
+        return SupernodalSymbolic(
+            n=n, perm=perm, parent=parent, colcount=cc, nsuper=nsuper,
+            super_first=r["super_first"], sparent=r["sparent"], rows=rows,
+            snode_of_col=r["snode_of_col"], levels=levels, level_of=level_of,
+            lnz=int(r["lpx"][-1]), fl=r["fl"], maxcsize=r["maxcsize"],
+            Lpx=r["lpx"])
+
     # ---- fundamental supernodes (Liu) ----
     nchild = np.zeros(n + 1, dtype=np.int64)
     for j in range(n):
