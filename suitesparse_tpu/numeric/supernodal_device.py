@@ -596,6 +596,128 @@ def _run_plan(plan: Plan, Cdata, flat_idx, dtype, cstr=None, udtype=None,
     return jnp.concatenate(panels) if panels else jnp.zeros(0, dtype=dtype)
 
 
+def _estimate_group_cells(g: GroupPlan) -> int:
+    """Peak working-set estimate (fp32 cells) for one group's program step:
+    full front + produced update + per-class P/contrib buffers (chunk-capped
+    at plan time)."""
+    RU = g.R - g.C
+    cells = g.B * g.R * g.R + g.B * RU * RU
+    for pc in g.pairs:
+        cells += 2 * pc.npairs * g.R * pc.RU_c
+    return cells
+
+
+def _segment_schedule(plan: Plan, budget_cells: int):
+    """Split the group sequence into contiguous segments whose estimated
+    working set stays under ``budget_cells``. The postorder-stack analog
+    (SPQR's Stack plan, ``spqr_analyze.cpp:28``): each segment is its own
+    XLA program, so buffer assignment never co-materializes the whole tree;
+    child update buffers are freed (donated) as soon as their last consumer
+    segment finishes."""
+    segs, cur, cur_cells = [], [], 0
+    for d, glist in enumerate(plan.groups):
+        for gi, g in enumerate(glist):
+            cells = _estimate_group_cells(g)
+            if cur and cur_cells + cells > budget_cells:
+                segs.append(cur)
+                cur, cur_cells = [], 0
+            cur.append((d, gi))
+            cur_cells += cells
+    if cur:
+        segs.append(cur)
+    return segs
+
+
+def _update_consumers(plan: Plan):
+    """last_seg_consumer[(d,gi)] = index of the LAST group (in schedule
+    order) whose pairs read update (d,gi)."""
+    order = {}
+    pos = 0
+    last = {}
+    for d, glist in enumerate(plan.groups):
+        for gi, g in enumerate(glist):
+            order[(d, gi)] = pos
+            for pc in g.pairs:
+                last[(pc.src_level, pc.src_gi)] = pos
+            pos += 1
+    return order, last
+
+
+def _run_plan_segmented(plan: Plan, S, cdata, dtype, udtype, precision,
+                        budget_cells: int):
+    """Factor via a SEQUENCE of device programs with bounded working sets.
+
+    Role of the reference's beyond-fast-memory machinery (SURVEY §5.7):
+    SPQR's stack-disciplined task tree / UMFPACK's arena+GC — re-designed
+    for XLA as segment programs over the level schedule. Updates that cross
+    a segment boundary are carried as donated pytree state; everything else
+    is freed when its segment's program exits. Dispatch pipelining hides the
+    per-segment call latency."""
+    import jax
+    import jax.numpy as jnp
+
+    segs = _segment_schedule(plan, budget_cells)
+    order, last_consumer = _update_consumers(plan)
+    key = (str(dtype), str(udtype), str(precision), budget_cells)
+    cache = getattr(S, "_seg_cache", None)
+    if cache is None or cache[0] != key:
+        fns = []
+        for si, seg in enumerate(segs):
+            seg_positions = [order[k] for k in seg]
+            first_pos, last_pos = seg_positions[0], seg_positions[-1]
+            # updates needed as INPUT: produced before this segment and
+            # consumed here or later
+            in_keys = sorted(k for k, lp in last_consumer.items()
+                             if order[k] < first_pos and lp >= first_pos)
+            # updates to EMIT: produced here (or passed through) and
+            # consumed after this segment
+            np_idx = {k: {"asrc": plan.groups[k[0]][k[1]].asrc,
+                          "adst": plan.groups[k[0]][k[1]].adst,
+                          "nc": plan.groups[k[0]][k[1]].nc,
+                          "pairs": plan.groups[k[0]][k[1]]._pair_arrays}
+                      for k in seg}
+
+            def seg_fn(cd, upd_in, _seg=seg, _idx=np_idx, _last=last_pos):
+                updates = dict(upd_in)
+                panels = []
+                token = None
+                for (d, gi) in _seg:
+                    g = plan.groups[d][gi]
+                    pflat, U = _group_compute(g, _idx[(d, gi)], cd, updates,
+                                              dtype, None, udtype, precision,
+                                              token=token)
+                    panels.append(pflat)
+                    token = pflat[:1]
+                    if U is not None:
+                        updates[(d, gi)] = U
+                # keep only updates still needed after this segment
+                out = {k: v for k, v in updates.items()
+                       if last_consumer.get(k, -1) > _last}
+                pcat = (jnp.concatenate(panels) if panels
+                        else jnp.zeros(0, dtype=dtype))
+                return pcat, out
+
+            fns.append((jax.jit(seg_fn, donate_argnums=(1,)), in_keys))
+        S._seg_cache = (key, fns, segs)
+    _, fns, segs = S._seg_cache
+
+    upd_state = {}
+    panel_parts = []
+    import warnings as _w
+    with _w.catch_warnings():
+        # consumed update buffers are donated; XLA reports the ones it
+        # cannot alias into same-shaped outputs (they are still freed when
+        # the host drops its reference after the last consumer segment)
+        _w.filterwarnings("ignore", message=".*donated buffers.*")
+        for (fn, in_keys) in fns:
+            upd_in = {k: upd_state.pop(k) for k in in_keys}
+            pcat, upd_out = fn(cdata, upd_in)
+            panel_parts.append(pcat)
+            upd_state.update(upd_out)
+    return jnp.concatenate(panel_parts) if panel_parts else \
+        jnp.zeros(0, dtype=dtype)
+
+
 def _clow_data(A: CSC, S: SupernodalSymbolic) -> np.ndarray:
     """Values of symperm(A, perm).transpose() via a cached position map —
     the steady-state factor-many path does NO per-call symbolic work."""
@@ -623,6 +745,30 @@ def factorize_device(A: CSC, S: SupernodalSymbolic,
     dtype = jnp.float64 if (config.compute_dtype == "float64"
                             and jax.config.jax_enable_x64) else jnp.float32
     udtype = (jnp.bfloat16 if config.update_dtype == "bfloat16" else dtype)
+
+    # memory-bounded segmented execution for big problems: one XLA program
+    # per bounded-working-set segment instead of one program for the whole
+    # tree (whose buffer assignment holds ~2-3x the live set and OOMs HBM
+    # between n=125k and n=166k — VERDICT r1 item 1)
+    seg_mode = os.environ.get("SSTPU_SEGMENT", "auto")
+    total_cells = sum(_estimate_group_cells(g)
+                      for gl in plan.groups for g in gl)
+    seg_threshold = int(float(os.environ.get("SSTPU_SEG_THRESHOLD", "1.2e9")))
+    use_seg = (seg_mode == "1"
+               or (seg_mode == "auto" and total_cells > seg_threshold))
+    if use_seg:
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[config.precision]
+        budget = int(float(os.environ.get("SSTPU_SEG_CELLS", "3e8")))
+        cdata = jnp.asarray(_clow_data(A, S))
+        Lxdev = _run_plan_segmented(plan, S, cdata, dtype, udtype, prec,
+                                    budget)
+        minor = S.n
+        if not bool(jnp.isfinite(Lxdev).all()):
+            minor = _find_minor(S, plan, Lxdev)
+        return SupernodalFactor(S=S, Lx=Lxdev, minor=minor, layout="device")
+
     fn = getattr(S, "_device_fn", None)
     if fn is None or getattr(S, "_device_dtype", None) != (dtype, udtype):
         prec = {"highest": jax.lax.Precision.HIGHEST,
@@ -650,14 +796,20 @@ def factorize_device(A: CSC, S: SupernodalSymbolic,
     # scalar reduction (also the synchronization point)
     minor = S.n
     if not bool(jnp.isfinite(Lxdev).all()):
-        Lh = np.asarray(Lxdev, dtype=np.float64)
-        Lpx_h = np.zeros(plan.lnz)
-        Lpx_h[plan.px_dst] = Lh[plan.px_src]
-        for s in range(S.nsuper):
-            if not np.all(np.isfinite(Lpx_h[S.Lpx[s]:S.Lpx[s + 1]])):
-                minor = int(S.super_first[s])
-                break
+        minor = _find_minor(S, plan, Lxdev)
     return SupernodalFactor(S=S, Lx=Lxdev, minor=minor, layout="device")
+
+
+def _find_minor(S, plan, Lxdev) -> int:
+    """First non-finite column (cholmod L->minor contract) from the device
+    factor buffer."""
+    Lh = np.asarray(Lxdev, dtype=np.float64)
+    Lpx_h = np.zeros(plan.lnz)
+    Lpx_h[plan.px_dst] = Lh[plan.px_src]
+    for s in range(S.nsuper):
+        if not np.all(np.isfinite(Lpx_h[S.Lpx[s]:S.Lpx[s + 1]])):
+            return int(S.super_first[s])
+    return S.n
 
 
 def roofline_report(S: SupernodalSymbolic, bytes_per_elt: int = 4) -> str:

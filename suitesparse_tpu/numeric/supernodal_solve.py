@@ -188,6 +188,218 @@ def _solve_fn(plan: SolvePlan, Lx, b, dtype):
     return y[:n]
 
 
+@dataclasses.dataclass
+class MF2Plan:
+    """Per-LEVEL fused contribution routing (VERDICT r1 item 5: the 824
+    per-pair-class op chains made the solve op-latency bound at 15.5 ms).
+
+    Forward: child pass-up vectors live in one global V-heap (rows =
+    concatenated per-group (B*RU) blocks, schedule order, plus a zero dump
+    row); each level does ONE padded gather + ONE one-hot placement matmul
+    + ONE block scatter-add into the level's w buffer.
+
+    Backward: solved x values live in an x-heap (concatenated per-group
+    (B*C) blocks — exactly the ``_mf_xmap`` layout); each group PULLS its
+    below-row values with one static gather (below rows are columns of
+    ancestors, already solved when the backward sweep reaches the group).
+    No per-pair ops at all on the backward sweep."""
+
+    vbase: dict          # (d, gi) -> row base of the group's V block
+    vrows: int           # total V-heap rows (excl. dump)
+    lv_vbase: list       # level -> base row of the level's first group
+    xbase: dict          # (d, gi) -> row base of the group's xc block
+    xrows: int
+    lv_xbase: list
+    # per level: (NP, RUmax) src rows into V-heap, (NP, RUmax) front
+    # coords, (NP,) flat dst slot, Rmax, Btot, group row offsets
+    lv_route: list
+    # per group: (B*RU,) x-heap positions of its below rows (pad -> dump)
+    xpos: dict
+
+
+def build_mf2_plan(S: SupernodalSymbolic, plan) -> MF2Plan:
+    gids = [(d, gi) for d, gl in enumerate(plan.groups)
+            for gi in range(len(gl))]
+    vbase, xbase = {}, {}
+    lv_vbase, lv_xbase = [], []
+    voff = xoff = 0
+    for d, glist in enumerate(plan.groups):
+        lv_vbase.append(voff)
+        lv_xbase.append(xoff)
+        for gi, g in enumerate(glist):
+            vbase[(d, gi)] = voff
+            xbase[(d, gi)] = xoff
+            voff += g.B * max(g.R - g.C, 0)
+            xoff += g.B * g.C
+    vrows, xrows = voff, xoff
+
+    # column -> x-heap position (for below-row pulls)
+    colpos = np.empty(S.n, dtype=np.int64)
+    for d, glist in enumerate(plan.groups):
+        for gi, g in enumerate(glist):
+            for b, s in enumerate(g.snodes):
+                f = int(S.super_first[s])
+                nc = int(S.super_first[s + 1]) - f
+                colpos[f:f + nc] = xbase[(d, gi)] + b * g.C + np.arange(nc)
+
+    lv_route = []
+    xpos = {}
+    for d, glist in enumerate(plan.groups):
+        # ---- forward routing into this level ----
+        srcs, coords, dsts = [], [], []
+        RUmax = 1
+        goff = []
+        btot = 0
+        Rmax = 1
+        for gi, g in enumerate(glist):
+            goff.append(btot)
+            btot += g.B
+            Rmax = max(Rmax, g.R)
+            for pc, (src, dst, idx) in zip(g.pairs, g._pair_arrays):
+                cb = vbase[(pc.src_level, pc.src_gi)]
+                cg = plan.groups[pc.src_level][pc.src_gi]
+                RU_c = pc.RU_c
+                RUmax = max(RUmax, RU_c)
+                # V-heap rows of each pair's child block
+                rows = (cb + src.astype(np.int64)[:, None] * RU_c
+                        + np.arange(RU_c)[None, :])
+                rows = np.where(idx >= 0, rows, vrows)   # pad -> dump row
+                srcs.append(rows)
+                coords.append(idx)
+                dsts.append(goff[gi] + dst.astype(np.int64))
+        if srcs:
+            NP = sum(a.shape[0] for a in srcs)
+            sr = np.full((NP, RUmax), vrows, dtype=np.int64)
+            co = np.full((NP, RUmax), -1, dtype=np.int32)
+            k = 0
+            for a, c in zip(srcs, coords):
+                sr[k:k + a.shape[0], :a.shape[1]] = a
+                co[k:k + a.shape[0], :c.shape[1]] = c
+                k += a.shape[0]
+            ds = np.concatenate(dsts)
+            order = np.argsort(ds, kind="stable")
+            route = (sr[order], co[order], ds[order].astype(np.int32),
+                     Rmax, btot, goff)
+        else:
+            route = (None, None, None, Rmax, btot, goff)
+        lv_route.append(route)
+        # ---- backward pulls ----
+        for gi, g in enumerate(glist):
+            RU = g.R - g.C
+            if RU <= 0:
+                continue
+            pos = np.full(g.B * RU, xrows, dtype=np.int64)
+            for b, s in enumerate(g.snodes):
+                nc = S.ncols(int(s))
+                below = S.rows[s][nc:]
+                pos[b * RU:b * RU + below.size] = colpos[below]
+            xpos[(d, gi)] = pos
+    return MF2Plan(vbase=vbase, vrows=vrows, lv_vbase=lv_vbase,
+                   xbase=xbase, xrows=xrows, lv_xbase=lv_xbase,
+                   lv_route=lv_route, xpos=xpos)
+
+
+def _mf2_solve_fn(S: SupernodalSymbolic, plan, solve_plan, m2: MF2Plan,
+                  Lx, pb, dtype):
+    """Per-level fused multifrontal solve (see MF2Plan)."""
+    import jax
+    import jax.numpy as jnp
+
+    nrhs = pb.shape[1]
+    pb = pb.astype(dtype)
+    Lxp = jnp.concatenate([Lx.astype(dtype), jnp.zeros(1, dtype=dtype)])
+
+    def panels_of(g):
+        P = jax.lax.dynamic_slice_in_dim(
+            Lxp, g.panel_base, g.B * g.R * g.C).reshape(g.B, g.R, g.C)
+        L11 = P[:, :g.C, :]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 1)
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 2)
+        ncb = jnp.asarray(g.nc).reshape(g.B, 1, 1)
+        eye = jnp.where(ridx == cidx, jnp.asarray(1.0, dtype), 0.0)
+        live = (ridx < ncb) & (cidx < ncb)
+        return jnp.where(live, L11, eye), P[:, g.C:, :]
+
+    from .supernodal_device import _use_potrf_kernel
+
+    def trisolve(L11, yc, g, transpose):
+        from ..kernels.trisolve import batched_trisolve, trisolve_fits
+        if _use_potrf_kernel(dtype, g.B, g.C) and trisolve_fits(
+                g.C, yc.shape[2], dtype):
+            return batched_trisolve(L11, yc, transpose=transpose)
+        return jax.lax.linalg.triangular_solve(
+            L11, yc, left_side=True, lower=True, transpose_a=transpose)
+
+    nlev = len(plan.groups)
+    # ---------------- forward ----------------
+    vheap = jnp.zeros((m2.vrows + 1, nrhs), dtype=dtype)
+    yfwd = {}
+    for d in range(nlev):
+        glist, slist = plan.groups[d], solve_plan.groups[d]
+        sr, co, ds, Rmax, btot, goff = m2.lv_route[d]
+        if sr is not None:
+            vals = vheap[sr]                     # (NP, RUmax, nrhs)
+            iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, Rmax, co.shape[1]), 1)
+            P = (iota == co[:, None, :]).astype(dtype)
+            placed = jnp.matmul(P, vals, preferred_element_type=dtype)
+            w_all = jnp.zeros((btot, Rmax, nrhs), dtype=dtype)
+            w_all = w_all.at[ds].add(placed, indices_are_sorted=True)
+        else:
+            w_all = None
+        vparts = []
+        for gi, (g, sg) in enumerate(zip(glist, slist)):
+            B, R, C = g.B, g.R, g.C
+            RU = R - C
+            if w_all is not None:
+                wslice = jax.lax.slice_in_dim(w_all, goff[gi],
+                                              goff[gi] + B)[:, :R, :]
+            else:
+                wslice = jnp.zeros((B, R, nrhs), dtype=dtype)
+            yc = pb[sg.col_idx].reshape(B, C, nrhs) - wslice[:, :C, :]
+            L11, L21 = panels_of(sg)
+            if RU > 0 and _use_step_kernel(dtype, B, C, RU, nrhs):
+                from ..kernels.solve_step import solve_step_fwd
+                xc, V = solve_step_fwd(L11, L21, yc, wslice[:, C:, :])
+            else:
+                xc = trisolve(L11, yc, sg, False)
+                V = (jnp.matmul(L21, xc, preferred_element_type=dtype)
+                     + wslice[:, C:, :]) if RU > 0 else None
+            yfwd[(d, gi)] = xc
+            if V is not None:
+                vparts.append(V.reshape(B * RU, nrhs))
+        if vparts:
+            vheap = jax.lax.dynamic_update_slice(
+                vheap, jnp.concatenate(vparts), (m2.lv_vbase[d], 0))
+
+    # ---------------- backward ----------------
+    xheap = jnp.zeros((m2.xrows + 1, nrhs), dtype=dtype)
+    for d in range(nlev - 1, -1, -1):
+        glist, slist = plan.groups[d], solve_plan.groups[d]
+        xparts = []
+        for gi, (g, sg) in enumerate(zip(glist, slist)):
+            B, R, C = g.B, g.R, g.C
+            RU = R - C
+            yc = yfwd[(d, gi)]
+            L11, L21 = panels_of(sg)
+            if RU > 0:
+                xb = xheap[m2.xpos[(d, gi)]].reshape(B, RU, nrhs)
+                if _use_step_kernel(dtype, B, C, RU, nrhs):
+                    from ..kernels.solve_step import solve_step_bwd
+                    xc = solve_step_bwd(L11, L21, yc, xb)
+                else:
+                    yc = yc - jnp.matmul(jnp.swapaxes(L21, 1, 2), xb,
+                                         preferred_element_type=dtype)
+                    xc = trisolve(L11, yc, sg, True)
+            else:
+                xc = trisolve(L11, yc, sg, True)
+            xparts.append(xc.reshape(B * C, nrhs))
+        if xparts:
+            xheap = jax.lax.dynamic_update_slice(
+                xheap, jnp.concatenate(xparts), (m2.lv_xbase[d], 0))
+    return xheap[:m2.xrows]
+
+
 def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
     """Multifrontal solve over the device factor layout (see module doc).
 
@@ -359,12 +571,22 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     cache = getattr(S, "_solve_cache", None)
     if cache is None or cache[0] != key:
         if layout == "device":
+            import os
             fplan = S._device_plan
             xmap = _mf_xmap(S, fplan)
+            if os.environ.get("SSTPU_SOLVE_CLASSIC", "0") == "1":
+                def fn_mf(lx, pbp):
+                    xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype)
+                    return xcat[xmap]
+            else:
+                m2 = getattr(S, "_mf2_plan", None)
+                if m2 is None:
+                    m2 = build_mf2_plan(S, fplan)
+                    S._mf2_plan = m2
 
-            def fn_mf(lx, pbp):
-                xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype)
-                return xcat[xmap]
+                def fn_mf(lx, pbp):
+                    xcat = _mf2_solve_fn(S, fplan, plan, m2, lx, pbp, dtype)
+                    return xcat[xmap]
 
             fn = jax.jit(fn_mf)
         else:
