@@ -32,19 +32,34 @@ import numpy as np
 __all__ = ["batched_potrf", "batched_potrf_trsm", "lane_block", "kernel_fits"]
 
 
-def lane_block(C: int, RU: int, itemsize: int = 4) -> int | None:
-    """Largest 128-multiple batch block whose in+out+scratch VMEM (with
-    Mosaic double buffering) fits the ~16MB scoped budget; None if even 128
-    lanes do not fit (caller must use the XLA path)."""
-    per_lane = (2 * C * C + 2 * max(RU, 1) * C) * itemsize  # in+out refs
-    bb = int(10e6 // max(per_lane, 1)) // 128 * 128
-    if bb < 128:
-        return None
-    return min(1024, bb)
+def lane_block(C: int, RU: int, itemsize: int = 4,
+               B: int | None = None) -> int | None:
+    """Largest 128-multiple batch block whose in+out VMEM fits the ~16MB
+    scoped budget; None if even 128 lanes do not fit (caller must use the
+    XLA path).
+
+    Mosaic double-buffers the block refs only when the grid has more than
+    one step — a multi-block launch needs 2x the single-block footprint
+    (measured: C=16, RU=32, BB=1024, nb=2 allocates 16.04M and trips the
+    16.00M scoped limit). When ``B`` is given, the returned block accounts
+    for whether it forces a multi-step grid."""
+    per_lane_1 = 2 * (C * C + max(RU, 1) * C) * itemsize    # in+out refs
+    budget = 15.2e6
+    # headroom: Mosaic materializes in-kernel temporaries (~0.5x the refs);
+    # a multi-step grid additionally double-buffers the refs (measured:
+    # C=16 RU=32 BB=896 nb=2 allocated 16.70M against the 16.00M limit)
+    bb1 = int(budget // max(per_lane_1 * 3 // 2, 1)) // 128 * 128
+    bb2 = int(budget // max(3 * per_lane_1, 1)) // 128 * 128
+    bb1 = min(1024, bb1)
+    bb2 = min(1024, bb2)
+    if B is not None and B <= bb1:
+        return bb1 if bb1 >= 128 else None                  # nb == 1
+    return bb2 if bb2 >= 128 else None
 
 
-def kernel_fits(C: int, RU: int, itemsize: int = 4) -> bool:
-    return lane_block(C, RU, itemsize) is not None
+def kernel_fits(C: int, RU: int, itemsize: int = 4,
+                B: int | None = None) -> bool:
+    return lane_block(C, RU, itemsize, B) is not None
 
 
 def _kernel(x11_ref, x21_ref, l11_ref, l21_ref, *, C: int, RU: int):
@@ -129,10 +144,15 @@ def batched_potrf_trsm(f11, f21=None, interpret: bool | None = None):
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     dtype = f11.dtype
-    BB = lane_block(C, RU, np.dtype(dtype).itemsize)
-    assert BB is not None, (
-        "front too large for the Pallas potrf kernel's VMEM budget; "
-        "caller should use the XLA path (see kernel_fits)")
+    BB = lane_block(C, RU, np.dtype(dtype).itemsize, B)
+    if BB is None:
+        # too large for VMEM — degrade to XLA rather than fail
+        L11 = jnp.linalg.cholesky(f11)
+        if f21 is None:
+            return L11, None
+        L21 = jax.lax.linalg.triangular_solve(
+            L11, f21, left_side=False, lower=True, transpose_a=True)
+        return L11, L21
     nb = -(-B // BB)
     pad = nb * BB - B
     x11 = jnp.transpose(f11, (1, 2, 0))

@@ -147,8 +147,13 @@ def _build_px_maps(S, plan):
     return src, dst
 
 
-def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
-    """Precompute every index array for the device factorization."""
+def build_plan(S: SupernodalSymbolic, C_low: CSC,
+               split_mask: np.ndarray | None = None) -> Plan:
+    """Precompute every index array for the device factorization.
+
+    ``split_mask`` (optional bool per snode) forces snodes with different
+    mask values into different groups — the distributed planner uses it to
+    keep TOP (separator-crown) supernodes out of the subtree-owned groups."""
     children: list = [[] for _ in range(S.nsuper)]
     for s in range(S.nsuper):
         if S.sparent[s] != -1:
@@ -163,11 +168,12 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC) -> Plan:
         for s in level_nodes:
             nr, nc = S.nrows(s), S.ncols(s)
             key = (_pad_to(nr - nc, _R_LADDER) + _pad_to(nc, _C_LADDER),
-                   _pad_to(nc, _C_LADDER))
+                   _pad_to(nc, _C_LADDER),
+                   bool(split_mask[s]) if split_mask is not None else False)
             buckets.setdefault(key, []).append(int(s))
         glist = sorted(buckets.items())
         placed = []
-        for gi, ((R, C), ss) in enumerate(glist):
+        for gi, ((R, C, _msk), ss) in enumerate(glist):
             # tighten: within the ladder bucket, size panels to the group's
             # actual max dims (rounded to sublane multiples) — less padding,
             # same number of compiled stages
@@ -459,7 +465,7 @@ def _use_potrf_kernel(dtype, B: int, C: int, RU: int = 0) -> bool:
         return False
     from ..kernels.potrf import kernel_fits
     good_shape = (B >= 32 and C <= 96 and dtype == jnp.float32
-                  and kernel_fits(C, RU))
+                  and kernel_fits(C, RU, B=B))
     if mode == "1":
         return good_shape
     return good_shape and jax.devices()[0].platform == "tpu"
@@ -491,7 +497,7 @@ def _onehot_place(P, X, dtype, precision):
 
 
 def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
-                   udtype=None, precision=None, token=None):
+                   udtype=None, precision=None, token=None, f0=None):
     """Assemble + factor one group; returns (panel_flat, update or None).
 
     ``precision``: jax matmul precision. TPU fp32 matmuls default to ONE
@@ -510,10 +516,11 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
         # co-materializes every group's placement buffers (GBs at scale);
         # the TPU core runs ops serially anyway, so nothing is lost
         Cdata, _ = jax.lax.optimization_barrier((Cdata, token))
-    # original entries: one sorted unique scatter of this group's nnz(A)
-    F = jnp.zeros(B * R * R, dtype=dtype)
+    # original entries: one sorted unique scatter of this group's nnz(A);
+    # f0 (distributed path) carries the psum-assembled cut contributions
+    F = jnp.zeros(B * R * R, dtype=dtype) if f0 is None else f0.reshape(-1)
     if g.asrc.size:
-        F = F.at[ix["adst"]].set(Cdata[ix["asrc"]].astype(dtype),
+        F = F.at[ix["adst"]].add(Cdata[ix["asrc"]].astype(dtype),
                                  indices_are_sorted=True, unique_indices=True)
     F = F.reshape(B, R, R)
 

@@ -1,0 +1,398 @@
+"""Distributed multifrontal factorization v2: subtree-per-device shard_map
+leaf phase with an explicit psum halo exchange, panel-sharded top phase.
+
+Design (VERDICT r1 item 2; SURVEY §5.8 / §7 S6):
+
+  * :func:`..parallel.schedule.partition_tree` cuts the supernode tree into
+    flop-balanced subtrees (SPQR task-tree analog) and a TOP separator
+    crown.
+  * The plan is rebuilt with the top mask splitting groups, so every group
+    is either LEAF (all snodes owned by subtree devices) or TOP.
+  * LEAF phase runs under ``shard_map`` over the flattened device axis:
+    every device executes the same group schedule on its OWN slots
+    (per-device index arrays are sharded jit arguments; batches padded to
+    the per-class device maximum — dummy slots factor identity fronts and
+    contribute zero updates). Extend-adds below the cut are device-local by
+    construction (child and parent live in the same subtree) — ZERO
+    communication.
+  * Contributions that cross the cut are placed into a flat buffer of all
+    TOP fronts and combined with ONE ``jax.lax.psum`` — the explicit halo
+    exchange of child contribution blocks (the reference's
+    ``t_cholmod_gpu.c`` assembly, reborn as a collective).
+  * The TOP phase (the sequential separator chain) factors with front rows
+    sharded over the 'panel' mesh axis via consistent sharding constraints
+    (no tree/panel conflicts -> no involuntary GSPMD rematerialization).
+  * The factor never leaves the device: leaf panels are remapped into the
+    canonical single-chip device layout with two on-device gathers (via the
+    CHOLMOD px intermediate), so the existing solves consume it unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import Config, DEFAULT
+from ..sparse import CSC
+from ..symbolic.supernodes import SupernodalSymbolic
+from ..numeric.supernodal import SupernodalFactor
+from ..numeric import supernodal_device as sd
+from .schedule import partition_tree
+
+__all__ = ["dist_factorize_v2", "build_dist_plan"]
+
+
+class _Shim:
+    """GroupPlan-shaped view with a per-device batch (for _group_compute)."""
+
+    def __init__(self, R, C, B, npairs_list, asrc_size):
+        self.R, self.C, self.B = R, C, B
+        self.pairs = npairs_list      # list[PairClass]
+        self.asrc = np.empty(asrc_size, dtype=np.int32)  # size only
+        self.panel_base = 0
+
+
+def build_dist_plan(S: SupernodalSymbolic, C_low: CSC, ndev: int):
+    """Returns (plan, part, dist) where dist holds the per-device leaf
+    schedule, cut routing, and canonical remap arrays."""
+    part = partition_tree(S, ndev)
+    plan = sd.build_plan(S, C_low, split_mask=part.top)
+
+    # classify groups; global order
+    leaf_groups, top_groups = [], []
+    for d, glist in enumerate(plan.groups):
+        for gi, g in enumerate(glist):
+            if part.top[g.snodes[0]]:
+                top_groups.append((d, gi))
+            else:
+                leaf_groups.append((d, gi))
+    leaf_index = {k: i for i, k in enumerate(leaf_groups)}
+    top_index = {k: i for i, k in enumerate(top_groups)}
+
+    # top-front flat buffer layout
+    top_base = {}
+    off = 0
+    for k in top_groups:
+        g = plan.groups[k[0]][k[1]]
+        top_base[k] = off
+        off += g.B * g.R * g.R
+    f0_cells = off
+
+    # ---- per-device slot maps for leaf groups ----
+    # slot (global b) -> (device, local slot); batches padded to Bd
+    leaf_meta = []
+    for k in leaf_groups:
+        g = plan.groups[k[0]][k[1]]
+        devs = part.own[g.snodes]
+        assert np.all(devs >= 0)
+        order = np.argsort(devs, kind="stable")
+        counts = np.bincount(devs, minlength=ndev)
+        Bd = int(counts.max()) if g.B else 1
+        lslot = np.empty(g.B, dtype=np.int64)
+        cur = np.zeros(ndev, dtype=np.int64)
+        for b in order:
+            d0 = devs[b]
+            lslot[b] = cur[d0]
+            cur[d0] += 1
+        leaf_meta.append((devs, lslot, Bd))
+
+    # ---- per-device index arrays ----
+    # A-entry scatter: split g.adst by device, renumber slots, pad
+    dist_groups = []     # per leaf group: dict of stacked (D, ...) arrays
+    for li, k in enumerate(leaf_groups):
+        g = plan.groups[k[0]][k[1]]
+        devs, lslot, Bd = leaf_meta[li]
+        R, C = g.R, g.C
+        slot_of_entry = g.adst // (R * R)
+        coord = g.adst % (R * R)
+        edev = devs[slot_of_entry]
+        eadst = lslot[slot_of_entry] * R * R + coord
+        # per-device counts, pad to max
+        ecnt = np.bincount(edev, minlength=ndev)
+        emax = int(ecnt.max()) if g.adst.size else 0
+        asrc_d = np.zeros((ndev, emax), dtype=np.int32)
+        # distinct OOB pad indices keep the sorted+unique scatter contract
+        adst_d = (Bd * R * R
+                  + np.tile(np.arange(emax, dtype=np.int64), (ndev, 1)))
+        for d0 in range(ndev):
+            sel = edev == d0
+            m = int(sel.sum())
+            # keep sorted adst within device (stable selection preserves it)
+            asrc_d[d0, :m] = g.asrc[sel]
+            adst_d[d0, :m] = eadst[sel]
+        nc_d = np.zeros((ndev, Bd), dtype=np.int32)
+        for b in range(g.B):
+            nc_d[devs[b], lslot[b]] = g.nc[b]
+        # pairs: all children are leaf groups on the SAME device
+        pair_sets = []
+        for pc, (src, dst, idx) in zip(g.pairs, g._pair_arrays):
+            ck = (pc.src_level, pc.src_gi)
+            cli = leaf_index[ck]
+            cdevs, clslot, cBd = leaf_meta[cli]
+            pdev = devs[dst]
+            assert np.array_equal(pdev, cdevs[src]), "cross-device leaf pair"
+            pcnt = np.bincount(pdev, minlength=ndev)
+            pmax = max(int(pcnt.max()), 1)
+            src_d = np.zeros((ndev, pmax), dtype=np.int32)
+            dst_d = np.zeros((ndev, pmax), dtype=np.int32)
+            idx_d = np.full((ndev, pmax, pc.RU_c), -1, dtype=np.int32)
+            for d0 in range(ndev):
+                sel = pdev == d0
+                m = int(sel.sum())
+                src_d[d0, :m] = clslot[src[sel]]
+                dst_d[d0, :m] = lslot[dst[sel]]
+                idx_d[d0, :m] = idx[sel]
+            pair_sets.append((cli, pc.RU_c, pmax, src_d, dst_d, idx_d))
+        dist_groups.append({
+            "k": k, "R": R, "C": C, "Bd": Bd, "emax": emax,
+            "asrc": asrc_d, "adst": adst_d, "nc": nc_d,
+            "pairs": pair_sets,
+        })
+
+    # ---- cut routing: leaf-group updates -> top-front flat buffer ----
+    # for each TOP group, its pairs whose child is a LEAF group move into
+    # the cut set (placed + psummed before the top phase)
+    cut_sets = []       # (leaf li, RU_c, pmax, src_d, base_d, idx_d)
+    top_plan = []       # per top group: ix dict with only top-child pairs
+    for k in top_groups:
+        g = plan.groups[k[0]][k[1]]
+        R = g.R
+        keep_pairs, keep_arrays = [], []
+        for pc, (src, dst, idx) in zip(g.pairs, g._pair_arrays):
+            ck = (pc.src_level, pc.src_gi)
+            if ck in top_index:
+                keep_pairs.append(pc)
+                keep_arrays.append((src, dst, idx))
+                continue
+            cli = leaf_index[ck]
+            cdevs, clslot, cBd = leaf_meta[cli]
+            pdev = cdevs[src]           # device owning the child
+            pcnt = np.bincount(pdev, minlength=ndev)
+            pmax = max(int(pcnt.max()), 1)
+            src_d = np.zeros((ndev, pmax), dtype=np.int32)
+            dst_d = np.zeros((ndev, pmax), dtype=np.int32)
+            idx_d = np.full((ndev, pmax, pc.RU_c), -1, dtype=np.int32)
+            for d0 in range(ndev):
+                sel = pdev == d0
+                m = int(sel.sum())
+                src_d[d0, :m] = clslot[src[sel]]
+                dst_d[d0, :m] = dst[sel]
+                idx_d[d0, :m] = idx[sel]
+            cut_sets.append((cli, pc.RU_c, pmax, R, top_index[k],
+                             src_d, dst_d, idx_d))
+        top_plan.append((k, keep_pairs, keep_arrays))
+
+    # ---- canonical remap (dist leaf layout -> canonical plan layout) ----
+    # leaf panel cell (li, dev, lslot, r, c) <-> plan panel cell; built via
+    # per-group vectorized index arithmetic
+    leaf_cells = 0
+    leaf_base = []
+    for dg in dist_groups:
+        leaf_base.append(leaf_cells)
+        leaf_cells += dg["Bd"] * dg["R"] * dg["C"]
+    # map: canonical dev-layout index <- (device, leaf-local index)
+    can_src_dev = []
+    can_src_pos = []
+    can_dst = []
+    for li, k in enumerate(leaf_groups):
+        g = plan.groups[k[0]][k[1]]
+        devs, lslot, Bd = leaf_meta[li]
+        R, C = g.R, g.C
+        cells = R * C
+        cell = np.arange(cells, dtype=np.int64)
+        for b in range(g.B):
+            can_dst.append(g.panel_base + b * cells + cell)
+            can_src_dev.append(np.full(cells, devs[b], dtype=np.int64))
+            can_src_pos.append(leaf_base[li] + lslot[b] * cells + cell)
+    dist = {
+        "ndev": ndev, "leaf_groups": leaf_groups, "top_groups": top_groups,
+        "dist_groups": dist_groups, "cut_sets": cut_sets,
+        "top_plan": top_plan, "f0_cells": f0_cells,
+        "leaf_cells": leaf_cells, "leaf_base": leaf_base,
+        "can_dst": (np.concatenate(can_dst) if can_dst
+                    else np.empty(0, np.int64)),
+        "can_src_dev": (np.concatenate(can_src_dev) if can_src_dev
+                        else np.empty(0, np.int64)),
+        "can_src_pos": (np.concatenate(can_src_pos) if can_src_pos
+                        else np.empty(0, np.int64)),
+    }
+    return plan, part, dist
+
+
+def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
+                      config: Config = DEFAULT) -> SupernodalFactor:
+    """Sharded factorization: shard_map leaf phase + panel-sharded top
+    phase. The returned factor is in the CANONICAL single-chip device
+    layout (existing solves consume it directly); it stays on device."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+    axes = tuple(mesh.axis_names)
+
+    cache = getattr(S, "_dist2_cache", None)
+    key = (id(mesh), ndev, config.precision)
+    if cache is None or cache[0] != key:
+        C_low = A.symperm(S.perm).transpose()
+        plan, part, dist = build_dist_plan(S, C_low, ndev)
+        # the returned factor uses THIS plan's device layout: make it the
+        # symbolic handle's canonical plan so the existing solves and px
+        # materialization consume the distributed factor unchanged
+        S._device_plan = plan
+        S._device_fn = None
+        S._solve_plans = None
+        S._solve_cache = None
+        S._mf2_plan = None
+        prec = {"highest": jax.lax.Precision.HIGHEST,
+                "high": jax.lax.Precision.HIGH,
+                "default": jax.lax.Precision.DEFAULT}[config.precision]
+        dtype = jnp.float32
+
+        dist_groups = dist["dist_groups"]
+        cut_sets = dist["cut_sets"]
+        top_plan = dist["top_plan"]
+        nleaf = len(dist_groups)
+
+        # stacked per-device args, sharded on the leading axis
+        def shard_leading(x):
+            return jax.device_put(x, NamedSharding(mesh, P(axes)))
+
+        leaf_args = []
+        for dg in dist_groups:
+            pa = [(shard_leading(s), shard_leading(d0), shard_leading(ix))
+                  for (_, _, _, s, d0, ix) in dg["pairs"]]
+            leaf_args.append((shard_leading(dg["asrc"]),
+                              shard_leading(dg["adst"]),
+                              shard_leading(dg["nc"]), pa))
+        cut_args = [(shard_leading(s), shard_leading(d0), shard_leading(ix))
+                    for (_, _, _, _, _, s, d0, ix) in cut_sets]
+
+        def leaf_body(cdata, largs, cargs):
+            # per-device: largs leading dim == 1 (shard), squeeze
+            updates = {}
+            panels = []
+            token = None
+            for li, dg in enumerate(dist_groups):
+                asrc, adst, ncarr, pa = largs[li]
+                asrc, adst, ncarr = asrc[0], adst[0], ncarr[0]
+                R, C, Bd = dg["R"], dg["C"], dg["Bd"]
+                shim = _Shim(R, C, Bd,
+                             [sd.PairClass(src_level=0, src_gi=cli,
+                                           RU_c=ru, npairs=pm)
+                              for (cli, ru, pm, _, _, _) in dg["pairs"]],
+                             dg["emax"])
+                ix = {"asrc": asrc, "adst": adst, "nc": ncarr,
+                      "pairs": [(p[0][0], p[1][0], p[2][0]) for p in pa]}
+                # updates keyed (0, cli) to match the shim PairClass keys
+                pflat, U = sd._group_compute(shim, ix, cdata, updates,
+                                             dtype, None, None, prec,
+                                             token=token)
+                panels.append(pflat)
+                token = pflat[:1]
+                if U is not None:
+                    updates[(0, li)] = U
+            # cut placement: per-top-group front buffers, block-granular
+            # scatter-add (the same efficient pattern as the extend-add)
+            F0s = [jnp.zeros(plan.groups[k[0]][k[1]].B
+                             * plan.groups[k[0]][k[1]].R ** 2, dtype=dtype)
+                   .reshape(plan.groups[k[0]][k[1]].B,
+                            plan.groups[k[0]][k[1]].R,
+                            plan.groups[k[0]][k[1]].R)
+                   for k in dist["top_groups"]]
+            for ci, (cli, RU_c, pmax, R, tgi, _, _, _) in                     enumerate(cut_sets):
+                srcs, dsts, idxs = cargs[ci]
+                srcs, dsts, idxs = srcs[0], dsts[0], idxs[0]
+                Usrc = updates[(0, cli)]
+                child = Usrc[srcs]
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, R, RU_c), 1)
+                Pm = (iota == idxs[:, None, :]).astype(dtype)
+                half = jnp.matmul(Pm, child, preferred_element_type=dtype,
+                                  precision=prec)
+                contrib = jnp.swapaxes(jnp.matmul(
+                    Pm, jnp.swapaxes(half, 1, 2),
+                    preferred_element_type=dtype, precision=prec), 1, 2)
+                F0s[tgi] = F0s[tgi].at[dsts].add(contrib)
+            F0 = (jnp.concatenate([f.reshape(-1) for f in F0s])
+                  if F0s else jnp.zeros(0, dtype=dtype))
+            F0 = jax.lax.psum(F0, axes)
+            pcat = (jnp.concatenate(panels) if panels
+                    else jnp.zeros(0, dtype=dtype))
+            return pcat[None, :], F0[None, :]
+
+        in_specs = (P(),
+                    [tuple([P(axes), P(axes), P(axes),
+                            [(P(axes),) * 3 for _ in la[3]]])
+                     for la in leaf_args],
+                    [(P(axes),) * 3 for _ in cut_args])
+        out_specs = (P(axes), P(axes))
+
+        def full_fn(cdata, largs, cargs):
+            leaf_panels, F0r = shard_map(
+                leaf_body, mesh=mesh,
+                in_specs=in_specs, out_specs=out_specs,
+                check_rep=False)(cdata, largs, cargs)
+            # F0r: (ndev, cells) all equal after psum; take row 0
+            F0 = F0r[0]
+            # ---- top phase: panel-sharded separator fronts ----
+            updates = {}
+            panels_top = {}
+            token = None
+            # big separator fronts: shard rows over EVERY device (both
+            # mesh axes) — the whole fleet cooperates on the top chain
+            pconstr = NamedSharding(mesh, P(None, axes, None))
+
+            def cstr(g, F):
+                if pconstr is not None and g.R >= 256:
+                    return jax.lax.with_sharding_constraint(F, pconstr)
+                return F
+
+            for (k, keep_pairs, keep_arrays) in top_plan:
+                g = plan.groups[k[0]][k[1]]
+                base = 0
+                for kk in dist["top_groups"]:
+                    if kk == k:
+                        break
+                    gg = plan.groups[kk[0]][kk[1]]
+                    base += gg.B * gg.R * gg.R
+                f0 = jax.lax.dynamic_slice(F0, (base,),
+                                           (g.B * g.R * g.R,))
+                shim = _Shim(g.R, g.C, g.B, keep_pairs, g.asrc.size)
+                shim.panel_base = g.panel_base
+                ix = {"asrc": g.asrc, "adst": g.adst, "nc": g.nc,
+                      "pairs": keep_arrays}
+                pflat, U = sd._group_compute(shim, ix, cdata, updates,
+                                             dtype, cstr, None, prec,
+                                             token=token, f0=f0)
+                panels_top[k] = pflat
+                token = pflat[:1]
+                if U is not None:
+                    updates[(k[0], k[1])] = U
+            # ---- canonical remap (leaf) + top panels placement ----
+            Lx = jnp.zeros(plan.dev_size, dtype=dtype)
+            if dist["can_dst"].size:
+                flat_pos = (dist["can_src_dev"] * dist["leaf_cells"]
+                            + dist["can_src_pos"])
+                vals = leaf_panels.reshape(-1)[flat_pos]
+                Lx = Lx.at[dist["can_dst"]].set(vals, unique_indices=True)
+            for (k, _, _) in top_plan:
+                g = plan.groups[k[0]][k[1]]
+                Lx = jax.lax.dynamic_update_slice(
+                    Lx, panels_top[k], (g.panel_base,))
+            return Lx
+
+        fn = jax.jit(full_fn)
+        S._dist2_cache = (key, fn, leaf_args, cut_args, plan, part)
+    _, fn, leaf_args, cut_args, plan, part = S._dist2_cache
+    import jax.numpy as jnp
+    cdev = jax.device_put(
+        sd._clow_data(A, S),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
+    Lx = fn(cdev, leaf_args, cut_args)
+    minor = S.n
+    if not bool(jnp.isfinite(Lx).all()):
+        minor = sd._find_minor(S, plan, Lx)
+    F = SupernodalFactor(S=S, Lx=Lx, minor=minor, layout="device")
+    F._dist_plan = plan
+    return F
