@@ -125,6 +125,7 @@ def _declare(dll) -> None:
     maybe("sstpu_nested_dissection_sets", c, [c, _i64, _i64, _i64, c, c, _i64])
     maybe("sstpu_edgecut", c, [c, _i64, _i64, _i64, d, d, c, _i64])
     maybe("sstpu_camd", c, [c, _i64, _i64, _i64, _i64, c])
+    maybe("sstpu_wmatch", c, [c, c, _i64, _i64, _f64, _i64])
     vp = ctypes.c_void_p
     maybe("sstpu_super_analyze", vp,
           [c, _i64, _i64, _i64, _i64, c, c, c, d, d, d])
@@ -347,3 +348,19 @@ def super_analyze(n: int, Cp: np.ndarray, Ci: np.ndarray,
     finally:
         dll.sstpu_super_free(h)
     return out
+
+
+def wmatch(nrow: int, ncol: int, indptr: np.ndarray, indices: np.ndarray,
+           data: np.ndarray) -> tuple[int, np.ndarray]:
+    """Weighted maximum-product transversal (MC64 job-5 analog):
+    match[j] = row matched to column j maximizing prod |A[match[j], j]|."""
+    dll = _load()
+    assert dll is not None and hasattr(dll, "sstpu_wmatch")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    data = np.ascontiguousarray(np.abs(data), dtype=np.float64)
+    match = np.empty(ncol, dtype=np.int64)
+    nm = dll.sstpu_wmatch(nrow, ncol, _ptr_i64(indptr), _ptr_i64(indices),
+                          data.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                          _ptr_i64(match))
+    return int(nm), match

@@ -4,8 +4,10 @@ Reference analog: UMFPACK's UNSYMMETRIC strategy (``umfpack_qsymbolic.c``:
 COLAMD column order + column-etree frontal matrices; numeric kernel
 ``umf_kernel.c`` with threshold partial pivoting in ``umf_local_search.c``).
 
-The static-shape redesign rests on a maximum-transversal row-column MATCHING
-(the MC64-style static-pivoting pre-step of SuperLU_DIST, here structural):
+The static-shape redesign rests on a WEIGHTED row-column MATCHING (the
+MC64-style static-pivoting pre-step of SuperLU_DIST — ``native/src/
+wmatch.cc`` maximizes the product of matched magnitudes, so home pivot
+blocks are numerically strong, not merely structurally nonsingular):
 
   * every row is HOME at the front owning its matched column; each front's
     pivot block is the square block of its nc home rows x nc pivot columns,
@@ -22,10 +24,12 @@ The static-shape redesign rests on a maximum-transversal row-column MATCHING
     the elimination and the backward sweep over stored U panels is the QR
     path's R backsolve, reused verbatim.
 
-Remaining numerical caveat (documented): the home block is structurally
-nonsingular but can be NUMERICALLY ill-conditioned where UMFPACK would have
-pivoted across fronts; tiny home pivots are perturbed (GESP precedent) and
-iterative refinement + a KLU-path fallback guard the result.
+Remaining numerical caveat (documented): the home block can still be
+ill-conditioned where UMFPACK would have pivoted across fronts; tiny home
+pivots are perturbed (GESP precedent), a SECOND device program with relaxed
+perturbation replays the factorization if anything goes non-finite (the
+device-local stand-in for UMFPACK's delayed pivots), and iterative
+refinement + a KLU-path fallback guard the last mile.
 """
 
 from __future__ import annotations
@@ -58,8 +62,16 @@ class LUUnsymSymbolic:
 def analyze_mflu_unsym(A: CSC, config: Config = DEFAULT) -> LUUnsymSymbolic:
     m, n = A.shape
     assert m == n, "unsymmetric multifrontal LU expects square A"
-    from ..ordering.btf import maxtrans
-    nmatch, match = maxtrans(A)
+    # WEIGHTED matching (MC64 analog): the home pivot blocks are built from
+    # this transversal, so maximizing the product of matched magnitudes is
+    # the static-pivoting quality lever (SuperLU_DIST precedent; removes
+    # the numerically-tiny-home-pivot failure mode at its root)
+    from .. import native
+    if native.available():
+        nmatch, match = native.wmatch(m, n, A.indptr, A.indices, A.data)
+    else:
+        from ..ordering.btf import maxtrans
+        nmatch, match = maxtrans(A)
     assert nmatch == n, "structurally singular matrix"
     # Ap has the matched entry of column j on the diagonal
     Ap = A.permuted(match, None)
@@ -253,7 +265,8 @@ def build_lu_unsym_plan(SL: LUUnsymSymbolic, Aq: CSC, nrhs: int) -> QRPlan:
                   nrhs=nrhs, n=n)
 
 
-def _run_lu_unsym_plan(plan, Adata, bflat, dtype, precision=None):
+def _run_lu_unsym_plan(plan, Adata, bflat, dtype, precision=None,
+                       tau_rel: float = 1e-6):
     import jax
     import jax.numpy as jnp
 
@@ -296,7 +309,7 @@ def _run_lu_unsym_plan(plan, Adata, bflat, dtype, precision=None):
             # nonsingular via the matching; numerically tiny pivots are
             # perturbed and refinement/fallback absorb the rest)
             scale = jnp.max(jnp.abs(H), axis=(1, 2), keepdims=True)
-            tau = jnp.maximum(scale, 1.0) * jnp.asarray(1e-6, dtype)
+            tau = jnp.maximum(scale, 1.0) * jnp.asarray(tau_rel, dtype)
             diag = jnp.sum(U11 * eyeg, axis=2, keepdims=True)
             bump = jnp.where(jnp.abs(diag) < tau,
                              jnp.where(diag < 0, -tau, tau) - diag, 0.0)
@@ -365,13 +378,25 @@ def lu_unsym_solve_device(A: CSC, b: np.ndarray,
                 "default": jax.lax.Precision.DEFAULT}[config.precision]
         fn = jax.jit(
             lambda ad, bf: _run_lu_unsym_plan(plan, ad, bf, dtype, prec))
+        # device-local delayed-pivot recovery (VERDICT r1 item 7): a
+        # numerically dead front perturbs at 1e-6; if anything still goes
+        # non-finite, a SECOND device program with pivoting relaxed
+        # (stronger GESP perturbation, refinement absorbs it) replaces the
+        # old throw-everything-away host fallback
+        fn_relaxed = jax.jit(
+            lambda ad, bf: _run_lu_unsym_plan(plan, ad, bf, dtype, prec,
+                                              tau_rel=1e-3))
         # steady-state value map: Aq.data = A.data[vmap] (pattern fixed)
         trace = CSC(A.nrow, A.ncol, A.indptr, A.indices,
                     np.arange(A.nnz, dtype=np.float64), 0)
         vmap = trace.permuted(SL.rowpre, SQ.q).data.astype(np.int64)
-        SL._dev_cache = ((nrhs, config.precision, str(dtype)), fn, vmap)
-    _, fn, vmap = SL._dev_cache
-    panels = fn(jnp.asarray(A.data[vmap]), jnp.asarray(bb.ravel()))
+        SL._dev_cache = ((nrhs, config.precision, str(dtype)), fn,
+                         fn_relaxed, vmap)
+    _, fn, fn_relaxed, vmap = SL._dev_cache
+    ad, bf = jnp.asarray(A.data[vmap]), jnp.asarray(bb.ravel())
+    panels = fn(ad, bf)
+    if not bool(jnp.isfinite(panels).all()):
+        panels = fn_relaxed(ad, bf)         # cleanup pass, relaxed pivots
     ok = bool(jnp.isfinite(panels).all())
     assert ok, "unsymmetric multifrontal LU produced non-finite panels"
     F = MFQRDeviceFactor(SQ=SQ, panels=panels, ok=ok)
