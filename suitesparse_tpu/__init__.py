@@ -134,8 +134,15 @@ def solve(F: Factor, b: np.ndarray, config: Config = DEFAULT,
 
 
 def cholsol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
-    """One-call SPD solve (cs_cholsol / cholmod 'backslash' analog)."""
+    """One-call SPD solve (cs_cholsol / cholmod 'backslash' analog).
+
+    Complex Hermitian problems with enough flops run on the device path via
+    the 2x2 real embedding (numeric/complex_embed.py); small ones use the
+    host complex kernels directly."""
     S = analyze(A, config)
+    if np.iscomplexobj(A.data) and S.fl >= 2e6:
+        from .numeric.complex_embed import cholsol_complex_device
+        return cholsol_complex_device(A, b, config)
     F = factorize(A, S, config)
     return solve(F, b)
 

@@ -34,28 +34,50 @@ def read_rb(path_or_file) -> CSC:
         line3 = f.readline().split()
         mxtype = line3[0].lower()
         nrow, ncol, nnz = int(line3[1]), int(line3[2]), int(line3[3])
-        f.readline()  # formats (parsed token-wise instead)
+        fmt_line = f.readline()  # Fortran formats, e.g. (16I5) (3D22.16)
         assert mxtype[2] == "a", f"unsupported (elemental) type {mxtype}"
         assert mxtype[0] in "rpic", f"unsupported value type {mxtype}"
 
-        def read_tokens(ncards, count, conv):
+        import re
+        fmts = re.findall(r"\(([^)]*)\)", fmt_line)
+
+        def fmt_width(spec: str) -> int | None:
+            # "16I5" -> 5; "3D22.16" -> 22; "1P,3E25.16" variants too
+            m = re.search(r"\d*\s*[IiDdEeFfGg]\s*(\d+)", spec)
+            return int(m.group(1)) if m else None
+
+        widths = [fmt_width(s) for s in fmts]
+
+        def read_tokens(ncards, count, conv, width=None):
+            # Fortran fixed-width cards PACK when values fill the field
+            # (e.g. 16I5 with 5-digit pointers) — slice by width when known,
+            # fall back to whitespace splitting
             toks = []
             for _ in range(ncards):
-                line = f.readline().replace("D", "E").replace("d", "e")
-                toks.extend(line.split())
+                line = f.readline().rstrip("\n").replace("D", "E") \
+                    .replace("d", "e")
+                if width:
+                    toks.extend(line[i:i + width].strip()
+                                for i in range(0, len(line), width))
+                else:
+                    toks.extend(line.split())
+            toks = [t for t in toks if t]
             assert len(toks) >= count, "short RB file"
             return np.array([conv(t) for t in toks[:count]])
 
-        indptr = read_tokens(ptrcrd, ncol + 1, int) - 1
-        indices = read_tokens(indcrd, nnz, int) - 1
+        w_ptr = widths[0] if len(widths) > 0 else None
+        w_ind = widths[1] if len(widths) > 1 else None
+        w_val = widths[2] if len(widths) > 2 else None
+        indptr = read_tokens(ptrcrd, ncol + 1, int, w_ptr) - 1
+        indices = read_tokens(indcrd, nnz, int, w_ind) - 1
         if mxtype[0] == "p" or valcrd == 0:
             data = np.ones(nnz)
         elif mxtype[0] == "c":
             # complex: 2*nnz reals, (re, im) interleaved
-            raw = read_tokens(valcrd, 2 * nnz, float)
+            raw = read_tokens(valcrd, 2 * nnz, float, w_val)
             data = raw[0::2] + 1j * raw[1::2]
         else:
-            data = read_tokens(valcrd, nnz, float)
+            data = read_tokens(valcrd, nnz, float, w_val)
         cols = np.repeat(np.arange(ncol, dtype=np.int64),
                          np.diff(indptr.astype(np.int64)))
         sym = mxtype[1]

@@ -411,6 +411,10 @@ def mflusol_unsym(A: CSC, b: np.ndarray,
     Falls back to the KLU path (exact cross-front partial pivoting, host)
     when refinement cannot reach a clean residual — the analog of UMFPACK
     delaying pivots out of a numerically deficient front."""
+    if np.iscomplexobj(A.data) or np.iscomplexobj(b):
+        from .complex_embed import lusol_complex_device
+        return lusol_complex_device(A, np.asarray(b, dtype=np.complex128),
+                                    config)
     Ag = A.to_full_storage() if A.sym != 0 else A
     b = np.asarray(b, dtype=np.float64)
     try:

@@ -278,11 +278,14 @@ def qrsol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
     Householder QR."""
     m, n = A.shape
     if m >= n:
-        if (m * n >= 1 << 16 and not np.iscomplexobj(A.data)
-                and not np.iscomplexobj(b)):
-            # device path pays off past trivial sizes (real-only, like the
-            # reference's GPU path — complex stays on the host kernels)
+        if m * n >= 1 << 16:
+            # device path pays off past trivial sizes; complex runs through
+            # the 2x2 real embedding (the residual 2-norm is preserved)
             try:
+                if np.iscomplexobj(A.data) or np.iscomplexobj(b):
+                    from .complex_embed import qrsol_complex_device
+                    return qrsol_complex_device(A, np.asarray(
+                        b, dtype=np.complex128), config)
                 from .mfqr_device import mfqrsol_device
                 return mfqrsol_device(A, b, config)
             except AssertionError:

@@ -179,7 +179,8 @@ def factorize(A: CSC, S_or_simpl, config: Config = DEFAULT):
         if S is None:
             S = analyze_supernodal(A, S_or_simpl.perm, config)
             S_or_simpl._super = S  # analyze once, factor many
-    use_device = _should_use_device(S, config)
+    use_device = _should_use_device(S, config) \
+        and not np.iscomplexobj(A.data)   # complex routes via the embedding
     if use_device:
         from . import supernodal_device
         F = supernodal_device.factorize_device(A, S, config)
