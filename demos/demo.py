@@ -36,8 +36,15 @@ def run_one(name: str, A, kind: str) -> str:
         S = sst.analyze(A)
         F = sst.factorize(A, S)
         x = sst.solve(F, b[:n])
-        extra = f"lnz={S.lnz:<9d} fl={S.fl:.3e}"
         resid = sst.residual_norm(A, x, b[:n])
+        # fp64 iterative refinement (umfpack_solve.c:102 IRSTEP pattern):
+        # the double-precision numerical contract — fp32 device factors
+        # refine to cs_demo-class double residuals
+        for _ in range(3):
+            r = b[:n] - A.matvec(x)
+            x = x + sst.solve(F, r)
+        resid_ir = sst.residual_norm(A, x, b[:n])
+        extra = (f"ir3={resid_ir:8.1e} lnz={S.lnz:<9d} fl={S.fl:.3e}")
     elif kind == "lu":
         x = sst.lusol(A, b[:n])
         resid = sst.residual_norm(A, x, b[:n])
