@@ -593,6 +593,95 @@ SSTPU_API i64 sstpu_nested_dissection(i64 n, const i64* Ap, const i64* Ai,
                                       nullptr);
 }
 
+// QP gradient-projection refinement (Mongoose_QPGradProj.cpp /
+// Mongoose_QPNapsack.cpp analog): minimize the continuous cut relaxation
+// f(x) = x'Lx over the box [0,1]^n intersected with the balance budget
+// lo <= w'x <= hi. Projection onto box-and-budget is the napsack problem
+// x = clip(y - lambda*w, 0, 1) with lambda found by bisection (w'x is
+// monotone in lambda). Rounding picks the balance-feasible prefix of the
+// sorted relaxed solution. Fresh implementation from the published method
+// (Hager et al.); accepts the result only when the rounded cut improves.
+void qp_gradproj(const Graph& g, std::vector<char>& side,
+                 double flo, double fhi, int iters = 40) {
+  i64 n = g.n;
+  if (n == 0) return;
+  double W = (double)g.total_vwgt;
+  double lo = flo * W, hi = fhi * W;
+  std::vector<double> x(n), grad(n), y(n), degw(n, 0.0);
+  for (i64 v = 0; v < n; v++)
+    for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++)
+      degw[v] += g.ewgt.empty() ? 1.0 : (double)g.ewgt[p];
+  double maxdeg = 1.0;
+  for (i64 v = 0; v < n; v++) maxdeg = std::max(maxdeg, degw[v]);
+  double step = 1.0 / (2.0 * maxdeg);
+  for (i64 v = 0; v < n; v++) x[v] = side[v] == 0 ? 1.0 : 0.0;
+
+  auto wdot = [&](const std::vector<double>& z) {
+    double s = 0;
+    for (i64 v = 0; v < n; v++) s += (double)g.vwgt[v] * z[v];
+    return s;
+  };
+  auto project = [&]() {
+    // x = clip(y - lambda*w, 0, 1) with w'x in [lo, hi]
+    auto eval = [&](double lam) {
+      double s = 0;
+      for (i64 v = 0; v < n; v++) {
+        double w = (double)g.vwgt[v];
+        double xv = y[v] - lam * w;
+        xv = xv < 0 ? 0 : (xv > 1 ? 1 : xv);
+        s += w * xv;
+      }
+      return s;
+    };
+    double lam = 0.0;
+    double s0 = eval(0.0);
+    if (s0 > hi || s0 < lo) {
+      double target = s0 > hi ? hi : lo;
+      double a = -2.0, b = 2.0;  // y in [-step*grad bounds]; widen if needed
+      while (eval(a) < target) a *= 2;
+      while (eval(b) > target) b *= 2;
+      for (int it = 0; it < 50; it++) {
+        lam = 0.5 * (a + b);
+        if (eval(lam) > target) a = lam; else b = lam;
+      }
+    }
+    for (i64 v = 0; v < n; v++) {
+      double w = (double)g.vwgt[v];
+      double xv = y[v] - lam * w;
+      x[v] = xv < 0 ? 0 : (xv > 1 ? 1 : xv);
+    }
+  };
+
+  for (int it = 0; it < iters; it++) {
+    for (i64 v = 0; v < n; v++) {
+      double s = 0;
+      for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
+        double w = g.ewgt.empty() ? 1.0 : (double)g.ewgt[p];
+        s += w * x[g.adj[p]];
+      }
+      grad[v] = 2.0 * (degw[v] * x[v] - s);
+    }
+    for (i64 v = 0; v < n; v++) y[v] = x[v] - step * grad[v];
+    project();
+  }
+  (void)wdot;
+  // round: balance-feasible prefix of x sorted descending
+  std::vector<i64> order(n);
+  for (i64 v = 0; v < n; v++) order[v] = v;
+  std::sort(order.begin(), order.end(),
+            [&](i64 a, i64 b) { return x[a] > x[b]; });
+  std::vector<char> cand(n, 1);
+  double acc = 0;
+  for (i64 v : order) {
+    if (acc + g.vwgt[v] > hi) break;
+    cand[v] = 0;
+    acc += g.vwgt[v];
+    if (acc >= lo && x[v] < 0.5) break;  // past the natural threshold
+  }
+  if (acc < lo) return;                   // could not balance; keep input
+  if (cut_weight(g, cand) < cut_weight(g, side)) side.swap(cand);
+}
+
 // Mongoose-class edge-cut bipartition (Mongoose.hpp:87-144 EdgeCut): the same
 // multilevel machinery as ND but returning the two-way PART VECTOR and cut
 // weight instead of a separator ordering. target_split/tolerance mirror
@@ -647,6 +736,12 @@ SSTPU_API i64 sstpu_edgecut(i64 n, const i64* Ap, const i64* Ai, i64* part,
     side.swap(fine);
     refine(levels[l], side, flo, fhi, &cand);
   }
+  // "waterdance" alternation (Mongoose_Waterdance.cpp): FM has run; follow
+  // with QP gradient projection, then one more FM pass to clean the
+  // rounded boundary. Each stage only replaces the partition on
+  // improvement.
+  qp_gradproj(levels[0], side, flo, fhi);
+  refine(levels[0], side, flo, fhi);
   i64 w0 = 0;
   for (i64 v = 0; v < n; v++) { part[v] = side[v]; if (!side[v]) w0++; }
   cut_out[0] = cut_weight(levels[0], side);

@@ -39,3 +39,16 @@ def test_edgecut_empty_and_tiny():
     A2 = from_triplets(2, 2, [0, 0, 1], [0, 1, 1], [2.0, 1.0, 2.0], sym=1)
     ec = edge_cut(A2)
     assert ec.partition.size == 2
+
+
+def test_edge_cut_quality_with_qp_refinement():
+    """Grid cuts must stay within ~10% of the plane-optimal cut (the QP
+    gradient-projection waterdance pass backs the Mongoose-parity claim)."""
+    from suitesparse_tpu.io import fixtures
+    from suitesparse_tpu.ordering.partition import edge_cut
+
+    for nx, ideal in ((10, 100), (14, 196)):
+        A = fixtures.laplacian_3d(nx)
+        ec = edge_cut(A.to_full_storage())
+        assert ec.cut_size <= ideal * 1.15, (nx, ec.cut_size)
+        assert ec.imbalance <= 0.06
