@@ -68,3 +68,33 @@ def test_collection_default_has_reference_index():
     # works whether or not the reference mount is present
     idx = c.index()
     assert isinstance(idx, list)
+
+
+def test_report_family():
+    """umfpack_report_* / Info[90] analog surface (VERDICT r1 missing 8)."""
+    import numpy as np
+    from suitesparse_tpu.io import fixtures
+    from suitesparse_tpu.ordering.amd import amd_order
+    from suitesparse_tpu.symbolic.supernodes import analyze_supernodal
+    from suitesparse_tpu.numeric import supernodal_device as sd
+    from suitesparse_tpu import report as rp
+
+    A = fixtures.load_demo("bcsstk01")
+    S = analyze_supernodal(A, amd_order(A))
+    F = sd.factorize_device(A, S)
+    txt = rp.report_matrix(A, prl=4)
+    assert "48-by-48" in txt and "col degrees" in txt
+    txt = rp.report_symbolic(S)
+    assert "supernodes" in txt
+    txt = rp.report_factor(F)
+    assert "ok True" in txt
+    txt = rp.report_perm(S.perm)
+    assert "valid True" in txt
+    info = rp.info_from_factor(F, A)
+    assert info.nnz_a == A.nnz and info.flops > 0
+    arr = info.as_array()
+    assert arr.size == 12 and np.isfinite(arr).all()
+    txt = rp.report_info(info, prl=3)
+    assert "nnz(L)" in txt
+    # prl=0 prints nothing (Control[UMFPACK_PRL] semantics)
+    assert rp.report_info(info, prl=0) == ""
