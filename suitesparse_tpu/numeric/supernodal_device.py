@@ -665,7 +665,11 @@ def _run_plan_segmented(plan: Plan, S, cdata, dtype, udtype, precision,
 
     segs = _segment_schedule(plan, budget_cells)
     order, last_consumer = _update_consumers(plan)
-    key = (str(dtype), str(udtype), str(precision), budget_cells)
+    # args mode (default): index arrays ride as device-resident jit
+    # arguments instead of baked HLO constants — giant embedded constants
+    # made remote compiles of audikw-class segments pathologically slow
+    args_mode = os.environ.get("SSTPU_SEG_ARGS", "1") == "1"
+    key = (str(dtype), str(udtype), str(precision), budget_cells, args_mode)
     cache = getattr(S, "_seg_cache", None)
     if cache is None or cache[0] != key:
         fns = []
@@ -683,28 +687,55 @@ def _run_plan_segmented(plan: Plan, S, cdata, dtype, udtype, precision,
                           "nc": plan.groups[k[0]][k[1]].nc,
                           "pairs": plan.groups[k[0]][k[1]]._pair_arrays}
                       for k in seg}
+            if args_mode:
+                seg_args = [np_idx[k2] for k2 in seg]
 
-            def seg_fn(cd, upd_in, _seg=seg, _idx=np_idx, _last=last_pos):
-                updates = dict(upd_in)
-                panels = []
-                token = None
-                for (d, gi) in _seg:
-                    g = plan.groups[d][gi]
-                    pflat, U = _group_compute(g, _idx[(d, gi)], cd, updates,
-                                              dtype, None, udtype, precision,
-                                              token=token)
-                    panels.append(pflat)
-                    token = pflat[:1]
-                    if U is not None:
-                        updates[(d, gi)] = U
-                # keep only updates still needed after this segment
-                out = {k: v for k, v in updates.items()
-                       if last_consumer.get(k, -1) > _last}
-                pcat = (jnp.concatenate(panels) if panels
-                        else jnp.zeros(0, dtype=dtype))
-                return pcat, out
+                def seg_fn(cd, upd_in, idx_list, _seg=seg, _last=last_pos):
+                    updates = dict(upd_in)
+                    panels = []
+                    token = None
+                    for (d, gi), ix in zip(_seg, idx_list):
+                        g = plan.groups[d][gi]
+                        pflat, U = _group_compute(g, ix, cd, updates,
+                                                  dtype, None, udtype,
+                                                  precision, token=token)
+                        panels.append(pflat)
+                        token = pflat[:1]
+                        if U is not None:
+                            updates[(d, gi)] = U
+                    out = {k2: v for k2, v in updates.items()
+                           if last_consumer.get(k2, -1) > _last}
+                    pcat = (jnp.concatenate(panels) if panels
+                            else jnp.zeros(0, dtype=dtype))
+                    return pcat, out
 
-            fns.append((jax.jit(seg_fn, donate_argnums=(1,)), in_keys))
+                dev_args = jax.device_put(seg_args)
+                fns.append((jax.jit(seg_fn, donate_argnums=(1,)), in_keys,
+                            dev_args))
+            else:
+                def seg_fn(cd, upd_in, _seg=seg, _idx=np_idx,
+                           _last=last_pos):
+                    updates = dict(upd_in)
+                    panels = []
+                    token = None
+                    for (d, gi) in _seg:
+                        g = plan.groups[d][gi]
+                        pflat, U = _group_compute(g, _idx[(d, gi)], cd,
+                                                  updates, dtype, None,
+                                                  udtype, precision,
+                                                  token=token)
+                        panels.append(pflat)
+                        token = pflat[:1]
+                        if U is not None:
+                            updates[(d, gi)] = U
+                    out = {k2: v for k2, v in updates.items()
+                           if last_consumer.get(k2, -1) > _last}
+                    pcat = (jnp.concatenate(panels) if panels
+                            else jnp.zeros(0, dtype=dtype))
+                    return pcat, out
+
+                fns.append((jax.jit(seg_fn, donate_argnums=(1,)), in_keys,
+                            None))
         S._seg_cache = (key, fns, segs)
     _, fns, segs = S._seg_cache
 
@@ -716,9 +747,12 @@ def _run_plan_segmented(plan: Plan, S, cdata, dtype, udtype, precision,
         # cannot alias into same-shaped outputs (they are still freed when
         # the host drops its reference after the last consumer segment)
         _w.filterwarnings("ignore", message=".*donated buffers.*")
-        for (fn, in_keys) in fns:
+        for (fn, in_keys, dev_args) in fns:
             upd_in = {k: upd_state.pop(k) for k in in_keys}
-            pcat, upd_out = fn(cdata, upd_in)
+            if dev_args is not None:
+                pcat, upd_out = fn(cdata, upd_in, dev_args)
+            else:
+                pcat, upd_out = fn(cdata, upd_in)
             panel_parts.append(pcat)
             upd_state.update(upd_out)
     return jnp.concatenate(panel_parts) if panel_parts else \

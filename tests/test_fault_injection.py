@@ -78,7 +78,8 @@ def test_segmented_runner_failure_mid_schedule(monkeypatch):
         raise _InjectedOOM("injected segment failure")
 
     patched = list(orig_fns)
-    patched[boom_idx] = (boom, orig_fns[boom_idx][1])
+    patched[boom_idx] = (boom, orig_fns[boom_idx][1],
+                         orig_fns[boom_idx][2])
     S2._seg_cache = (S2._seg_cache[0], patched, S2._seg_cache[2])
     with pytest.raises(_InjectedOOM):
         sd.factorize_device(A, S2)
