@@ -125,7 +125,55 @@ def main() -> None:
         _ = float(jnp.sum(sum(jnp.sum(o) for o in souts)))
         t_solve64 = min(t_solve64, (time.time() - t0) / K)
 
+    # MEASURED panel efficiency (BASELINE north star: >=50% of the
+    # dense-gemm roofline at the plan's own shapes). Run the flop-dominant
+    # groups' syrk-equivalent dense matmuls ALONE at the same (B, RU, C)
+    # shapes and the same precision — that rate is the speed of light for
+    # this shape mix; efficiency = end-to-end factor rate / that rate.
+    panel_eff = None
+    dense_gflops = None
+    if os.environ.get("BENCH_PANEL", "1") == "1":
+        shapes = []
+        for glist in S._device_plan.groups:
+            for g in glist:
+                RU = g.R - g.C
+                if RU > 0:
+                    fl_g = 2.0 * g.B * RU * RU * g.C  # syrk-equivalent
+                    shapes.append((fl_g, g.B, RU, g.C))
+        shapes.sort(reverse=True)
+        top = [s for s in shapes[:8] if s[0] > 0.01 * S.fl]
+        if top:
+            import jax as _jax
+
+            def dense_mix(keys):
+                outs = []
+                for i, (_, Bg, RU, C) in enumerate(top):
+                    a = keys[i]
+                    outs.append(jnp.sum(jnp.matmul(
+                        a, jnp.swapaxes(a, 1, 2),
+                        preferred_element_type=jnp.float32,
+                        precision=_jax.lax.Precision.HIGHEST)))
+                return sum(outs)
+
+            mats = [jnp.ones((Bg, RU, C), jnp.float32) * 0.5
+                    for (_, Bg, RU, C) in top]
+            dfn = _jax.jit(dense_mix)
+            _ = float(dfn(mats))
+            t_dense = float("inf")
+            for _trial in range(3):
+                t0 = time.time()
+                douts = [dfn(mats) for _ in range(K)]
+                _ = float(sum(float(o) for o in douts))
+                t_dense = min(t_dense, (time.time() - t0) / K)
+            fl_mix = sum(s[0] for s in top)
+            dense_gflops = fl_mix / t_dense / 1e9
+            panel_eff = (S.fl / t_factor / 1e9) / dense_gflops
+
     gflops = S.fl / t_factor / 1e9
+    extra = {}
+    if panel_eff is not None:
+        extra = {"panel_dense_gflops": round(dense_gflops, 1),
+                 "panel_efficiency": round(panel_eff, 3)}
     print(json.dumps({
         "metric": "supernodal_cholesky_fp32_gflops",
         "value": round(gflops, 3),
@@ -146,6 +194,7 @@ def main() -> None:
         "analyze_s": round(t_ord + t_sym, 2),
         "residual": float(resid),
         "platform": platform,
+        **extra,
     }))
 
 
