@@ -1,0 +1,77 @@
+"""Single-chip capacity benchmark: BASELINE-class model problem (n >= 500k).
+
+Factors laplacian_3d(CAP_NX)^3 on one chip through the memory-bounded
+segmented schedule (docs/MULTICHIP.md). The steady state is the
+analyze-once/factor-many regime; the first call pays remote compiles and
+plan-array H2D (environment tunnel costs, not device time).
+
+Run: CAP_NX=80 python demos/capacity.py
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.cache/sstpu_jax"))
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+import jax.numpy as jnp  # noqa: E402
+
+import suitesparse_tpu as sst  # noqa: E402
+from suitesparse_tpu.io import fixtures  # noqa: E402
+from suitesparse_tpu.ordering import nested_dissection_order  # noqa: E402
+from suitesparse_tpu.symbolic.supernodes import analyze_supernodal  # noqa: E402
+from suitesparse_tpu.numeric import supernodal_device as sd  # noqa: E402
+from suitesparse_tpu.numeric import supernodal_solve as ss  # noqa: E402
+
+
+def main() -> None:
+    nx = int(os.environ.get("CAP_NX", "80"))
+    A = fixtures.laplacian_3d(nx)
+    t0 = time.time()
+    S = analyze_supernodal(A, nested_dissection_order(A))
+    print(f"analyze {time.time()-t0:.1f}s n={A.ncol} "
+          f"fl={S.fl/1e9:.0f}G lnz={S.lnz/1e6:.0f}M", flush=True)
+    t0 = time.time()
+    F = sd.factorize_device(A, S)
+    print(f"first factor {time.time()-t0:.1f}s ok={F.ok}", flush=True)
+    b = 1.0 + np.arange(A.ncol) / A.ncol
+    t0 = time.time()
+    x = ss.solve_device(F, b)
+    print(f"first solve {time.time()-t0:.1f}s "
+          f"residual {sst.residual_norm(A, x, b):.3e}", flush=True)
+    del F, x
+    cfg = sst.DEFAULT
+    # steady state: shallow pipeline (each in-flight factor holds lnz*4 B)
+    budget = int(float(os.environ.get("SSTPU_SEG_CELLS", "3e8")))
+    cdata = jnp.asarray(sd._clow_data(A, S))
+    import jax.lax
+    prec = jax.lax.Precision.HIGHEST
+    args = (S._device_plan, S, cdata, jnp.float32, jnp.float32, prec, budget)
+    out = sd._run_plan_segmented(*args)
+    _ = float(jnp.sum(out))
+    del out
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        o1 = sd._run_plan_segmented(*args)
+        o2 = sd._run_plan_segmented(*args)
+        _ = float(jnp.sum(o1) + jnp.sum(o2))
+        best = min(best, (time.time() - t0) / 2)
+        del o1, o2
+    print(f"steady={best*1e3:.0f}ms -> {S.fl/best/1e9:.0f} GFLOP/s",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
