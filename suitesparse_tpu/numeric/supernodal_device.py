@@ -794,7 +794,9 @@ def factorize_device(A: CSC, S: SupernodalSymbolic,
     seg_mode = os.environ.get("SSTPU_SEGMENT", "auto")
     total_cells = sum(_estimate_group_cells(g)
                       for gl in plan.groups for g in gl)
-    seg_threshold = int(float(os.environ.get("SSTPU_SEG_THRESHOLD", "1.2e9")))
+    # round-1 measurement: 1.69e9 cells (n=125k) fit in one program,
+    # 2.47e9 (n=166k) OOMed — the threshold sits between
+    seg_threshold = int(float(os.environ.get("SSTPU_SEG_THRESHOLD", "2.0e9")))
     use_seg = (seg_mode == "1"
                or (seg_mode == "auto" and total_cells > seg_threshold))
     if use_seg:

@@ -245,19 +245,16 @@ def build_mf2_plan(S: SupernodalSymbolic, plan) -> MF2Plan:
     lv_route = []
     xpos = {}
     for d, glist in enumerate(plan.groups):
-        # ---- forward routing into this level ----
-        srcs, coords, dsts = [], [], []
-        RUmax = 1
-        goff = []
-        btot = 0
-        Rmax = 1
+        # ---- forward routing: ONE route per parent group, padded only to
+        # the group's own (R, max child RU) — level-wide padding materialized
+        # huge one-hot buffers when a level mixed a big separator group with
+        # many small ones (measured slower than the classic per-class path)
+        routes = []
         for gi, g in enumerate(glist):
-            goff.append(btot)
-            btot += g.B
-            Rmax = max(Rmax, g.R)
+            srcs, coords, dsts = [], [], []
+            RUmax = 1
             for pc, (src, dst, idx) in zip(g.pairs, g._pair_arrays):
                 cb = vbase[(pc.src_level, pc.src_gi)]
-                cg = plan.groups[pc.src_level][pc.src_gi]
                 RU_c = pc.RU_c
                 RUmax = max(RUmax, RU_c)
                 # V-heap rows of each pair's child block
@@ -266,8 +263,10 @@ def build_mf2_plan(S: SupernodalSymbolic, plan) -> MF2Plan:
                 rows = np.where(idx >= 0, rows, vrows)   # pad -> dump row
                 srcs.append(rows)
                 coords.append(idx)
-                dsts.append(goff[gi] + dst.astype(np.int64))
-        if srcs:
+                dsts.append(dst.astype(np.int64))
+            if not srcs:
+                routes.append(None)
+                continue
             NP = sum(a.shape[0] for a in srcs)
             sr = np.full((NP, RUmax), vrows, dtype=np.int64)
             co = np.full((NP, RUmax), -1, dtype=np.int32)
@@ -278,11 +277,9 @@ def build_mf2_plan(S: SupernodalSymbolic, plan) -> MF2Plan:
                 k += a.shape[0]
             ds = np.concatenate(dsts)
             order = np.argsort(ds, kind="stable")
-            route = (sr[order], co[order], ds[order].astype(np.int32),
-                     Rmax, btot, goff)
-        else:
-            route = (None, None, None, Rmax, btot, goff)
-        lv_route.append(route)
+            routes.append((sr[order], co[order],
+                           ds[order].astype(np.int32)))
+        lv_route.append(routes)
         # ---- backward pulls ----
         for gi, g in enumerate(glist):
             RU = g.R - g.C
@@ -336,24 +333,20 @@ def _mf2_solve_fn(S: SupernodalSymbolic, plan, solve_plan, m2: MF2Plan,
     yfwd = {}
     for d in range(nlev):
         glist, slist = plan.groups[d], solve_plan.groups[d]
-        sr, co, ds, Rmax, btot, goff = m2.lv_route[d]
-        if sr is not None:
-            vals = vheap[sr]                     # (NP, RUmax, nrhs)
-            iota = jax.lax.broadcasted_iota(
-                jnp.int32, (1, Rmax, co.shape[1]), 1)
-            P = (iota == co[:, None, :]).astype(dtype)
-            placed = jnp.matmul(P, vals, preferred_element_type=dtype)
-            w_all = jnp.zeros((btot, Rmax, nrhs), dtype=dtype)
-            w_all = w_all.at[ds].add(placed, indices_are_sorted=True)
-        else:
-            w_all = None
         vparts = []
         for gi, (g, sg) in enumerate(zip(glist, slist)):
             B, R, C = g.B, g.R, g.C
             RU = R - C
-            if w_all is not None:
-                wslice = jax.lax.slice_in_dim(w_all, goff[gi],
-                                              goff[gi] + B)[:, :R, :]
+            route = m2.lv_route[d][gi]
+            if route is not None:
+                sr, co, ds = route
+                vals = vheap[sr]                 # (NP, RUmax, nrhs)
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, R, co.shape[1]), 1)
+                P = (iota == co[:, None, :]).astype(dtype)
+                placed = jnp.matmul(P, vals, preferred_element_type=dtype)
+                wslice = jnp.zeros((B, R, nrhs), dtype=dtype)
+                wslice = wslice.at[ds].add(placed, indices_are_sorted=True)
             else:
                 wslice = jnp.zeros((B, R, nrhs), dtype=dtype)
             yc = pb[sg.col_idx].reshape(B, C, nrhs) - wslice[:, :C, :]
@@ -574,7 +567,13 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
             import os
             fplan = S._device_plan
             xmap = _mf_xmap(S, fplan)
-            if os.environ.get("SSTPU_SOLVE_CLASSIC", "0") == "1":
+            # default CLASSIC: measured on-TPU (n=125k, 1 rhs) the
+            # per-class block routing runs 14.8 ms vs 28.7 ms for the
+            # global-heap mf2 variant — the heap's element-granular
+            # vheap gathers (~5 ns/elem over ~2.2M contribution elements)
+            # cost more than the op-count reduction saves. mf2 stays as an
+            # opt-in (SSTPU_SOLVE_MF2=1) for shapes where it may win.
+            if os.environ.get("SSTPU_SOLVE_MF2", "0") != "1":
                 def fn_mf(lx, pbp):
                     xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype)
                     return xcat[xmap]
