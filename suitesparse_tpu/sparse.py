@@ -405,10 +405,31 @@ class CSC:
     def aat_pattern(self) -> "CSC":
         """Pattern of A + A' minus the diagonal, as general CSC with data=1.
 
-        The AMD/elimination-graph input (reference ``AMD/Source/amd_aat.c``)."""
+        The AMD/elimination-graph input (reference ``AMD/Source/amd_aat.c``).
+        Native two-pass counting construction when available (the numpy
+        triplet route cost ~1.1 s at n=125k — half the analyze budget);
+        note A+A' of one stored triangle equals A+A' of the full pattern,
+        so sym input needs no expansion."""
+        n = self.ncol
+        assert self.nrow == n
+        from . import native
+        if native.available():
+            outp, outi = native.aat(n, self.indptr, self.indices)
+            if self.sym == 0:
+                # a general pattern may store BOTH (i,j) and (j,i): the
+                # two-sweep construction then emits duplicates — drop
+                # repeats within each (sorted) column
+                col_of = np.repeat(np.arange(n), np.diff(outp))
+                rep = np.zeros(outi.size, dtype=bool)
+                rep[1:] = (outi[1:] == outi[:-1]) &                     (col_of[1:] == col_of[:-1])
+                if rep.any():
+                    keepm = ~rep
+                    counts = np.bincount(col_of[keepm], minlength=n)
+                    outp = np.zeros(n + 1, dtype=np.int64)
+                    np.cumsum(counts, out=outp[1:])
+                    outi = outi[keepm]
+            return CSC(n, n, outp, outi, np.ones(outi.size), 0)
         A = self.to_full_storage() if self.sym != 0 else self
-        n = A.ncol
-        assert A.nrow == n
         cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
         off = A.indices != cols
         r = np.concatenate([A.indices[off], cols[off]])
