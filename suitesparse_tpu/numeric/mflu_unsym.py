@@ -265,23 +265,24 @@ def build_lu_unsym_plan(SL: LUUnsymSymbolic, Aq: CSC, nrhs: int) -> QRPlan:
                   nrhs=nrhs, n=n)
 
 
-def _run_lu_unsym_plan(plan, Adata, bflat, dtype, precision=None,
-                       tau_rel: float = 1e-6):
+def _lu_group_body(g, ix, src, updates, key, dtype, precision,
+                   tau_rel: float = 1e-6):
+    """One matched-front LU group; ``ix`` = (asrc, adst, pair arrays) as
+    traced arrays (segmented runner ships them as device args)."""
     import jax
     import jax.numpy as jnp
 
-    src = jnp.concatenate([Adata.astype(dtype), bflat.astype(dtype)])
-    panel_parts = []
-    updates = {}
-    for d, glist in enumerate(plan.groups):
-        for gi, g in enumerate(glist):
+    asrc, adst, pair_arrs = ix
+    if True:
+        if True:
             B, M, N, K, Cg = g.B, g.M, g.N, g.K, g.Cg
             F = jnp.zeros(B * M * N, dtype=dtype)
             if g.asrc.size:
-                F = F.at[g.adst].set(src[g.asrc], indices_are_sorted=True,
-                                     unique_indices=True)
+                F = F.at[adst].set(src[asrc], indices_are_sorted=True,
+                                   unique_indices=True)
             F = F.reshape(B, M, N)
-            for (dc, gc, Kc, Nc, psrc, pdst, rowmap, colmap) in g.pairs:
+            for (dc, gc, Kc, Nc, *_np), (psrc, pdst, rowmap, colmap) in zip(
+                    g.pairs, pair_arrs):
                 child = updates[(dc, gc)][psrc]
                 ri = jax.lax.broadcasted_iota(jnp.int32, (1, M, Kc), 1)
                 Prow = (ri == rowmap[:, None, :]).astype(dtype)
@@ -344,8 +345,26 @@ def _run_lu_unsym_plan(plan, Adata, bflat, dtype, precision=None,
             rowsel = (mi == want).astype(dtype)
             R = jnp.matmul(rowsel, TF, preferred_element_type=dtype,
                            precision=precision)
+            return R.reshape(-1), R
+
+
+def _run_lu_unsym_plan(plan, Adata, bflat, dtype, precision=None,
+                       tau_rel: float = 1e-6):
+    import jax.numpy as jnp
+
+    src = jnp.concatenate([Adata.astype(dtype), bflat.astype(dtype)])
+    panel_parts = []
+    updates = {}
+    for d, glist in enumerate(plan.groups):
+        for gi, g in enumerate(glist):
+            ix = (g.asrc, g.adst,
+                  [(psrc, pdst, rowmap, colmap)
+                   for (_dc, _gc, _kc, _nc, psrc, pdst, rowmap, colmap)
+                   in g.pairs])
+            pflat, R = _lu_group_body(g, ix, src, updates, (d, gi), dtype,
+                                      precision, tau_rel)
             updates[(d, gi)] = R
-            panel_parts.append(R.reshape(-1))
+            panel_parts.append(pflat)
     return jnp.concatenate(panel_parts)
 
 
@@ -394,6 +413,38 @@ def lu_unsym_solve_device(A: CSC, b: np.ndarray,
                          fn_relaxed, vmap)
     _, fn, fn_relaxed, vmap = SL._dev_cache
     ad, bf = jnp.asarray(A.data[vmap]), jnp.asarray(bb.ravel())
+    # memory-bounded segmented execution for big problems (shared with the
+    # QR path — numeric/segmented.py)
+    import os as _os
+    from .segmented import qrplan_total_cells, run_qrplan_segmented
+    plan2 = SQ._dev_plan
+    seg_mode = _os.environ.get("SSTPU_SEGMENT", "auto")
+    threshold = int(float(_os.environ.get("SSTPU_SEG_THRESHOLD", "2.0e9")))
+    if seg_mode == "1" or (seg_mode == "auto"
+                           and qrplan_total_cells(plan2) > threshold):
+        budget = int(float(_os.environ.get("SSTPU_SEG_CELLS", "3e8")))
+        prec2 = {"highest": jax.lax.Precision.HIGHEST,
+                 "high": jax.lax.Precision.HIGH,
+                 "default": jax.lax.Precision.DEFAULT}[config.precision]
+        src = jnp.concatenate([ad.astype(dtype), bf.astype(dtype)])
+
+        def body(g, ix, sd, updates, key):
+            return _lu_group_body(g, ix, sd, updates, key, dtype, prec2)
+
+        panels = run_qrplan_segmented(plan2, SL, src, dtype, prec2, body,
+                                      budget, "_seg_cache_lu")
+        if not bool(jnp.isfinite(panels).all()):
+            def body2(g, ix, sd, updates, key):
+                return _lu_group_body(g, ix, sd, updates, key, dtype,
+                                      prec2, tau_rel=1e-3)
+
+            panels = run_qrplan_segmented(plan2, SL, src, dtype, prec2,
+                                          body2, budget, "_seg_cache_lu2")
+        ok = bool(jnp.isfinite(panels).all())
+        assert ok, "unsymmetric multifrontal LU produced non-finite panels"
+        F = MFQRDeviceFactor(SQ=SQ, panels=panels, ok=ok)
+        x = qr_solve_device(F)
+        return x[:, 0] if b.ndim == 1 else x
     panels = fn(ad, bf)
     if not bool(jnp.isfinite(panels).all()):
         panels = fn_relaxed(ad, bf)         # cleanup pass, relaxed pivots

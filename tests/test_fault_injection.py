@@ -124,3 +124,32 @@ def test_native_unavailable_falls_back_everywhere(monkeypatch):
     bg = Ag.matvec(np.ones(Ag.ncol))
     xg = sst.lusol(Ag, bg)
     assert sst.residual_norm(Ag, xg, bg) < 1e-8
+
+
+def test_qr_and_lu_segmented_match_single_program(monkeypatch):
+    """The QR-plan segmented runner (numeric/segmented.py) must reproduce
+    the single-program results bit-for-bit for both pipelines."""
+    from suitesparse_tpu import sparse
+    from suitesparse_tpu.numeric.mflu_unsym import mflusol_unsym
+    from suitesparse_tpu.numeric.qr import qrsol
+
+    rng = np.random.default_rng(2)
+    n = 200
+    G = np.where(rng.random((n, n)) < 0.04,
+                 rng.standard_normal((n, n)), 0) + 6 * np.eye(n)
+    A = sparse.from_dense(G)
+    b = G @ np.ones(n)
+    x0 = mflusol_unsym(A, b)
+    monkeypatch.setenv("SSTPU_SEGMENT", "1")
+    monkeypatch.setenv("SSTPU_SEG_CELLS", "50000")
+    x1 = mflusol_unsym(A, b)
+    assert np.abs(x0 - x1).max() < 1e-12
+    m2, n2 = 400, 220
+    C = np.where(rng.random((m2, n2)) < 0.06,
+                 rng.standard_normal((m2, n2)), 0)
+    C[np.arange(n2), np.arange(n2)] += 5
+    Aq = sparse.from_dense(C)
+    bq = rng.standard_normal(m2)
+    xq = qrsol(Aq, bq)
+    xref, *_ = np.linalg.lstsq(C, bq, rcond=None)
+    assert np.abs(xq - xref).max() / max(np.abs(xref).max(), 1) < 1e-4
