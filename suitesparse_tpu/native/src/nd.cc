@@ -184,7 +184,7 @@ void refine(const Graph& g, std::vector<char>& side,
   };
   // most of the cut reduction lands in the first passes; large graphs cap
   // the pass count (the per-pass gain scan is O(candidates))
-  int max_pass = g.n > 20000 ? 2 : (g.n > 2000 ? 4 : 6);
+  int max_pass = g.n > 20000 ? 3 : (g.n > 2000 ? 4 : 6);
   std::vector<i64> cand;  // candidates for the CURRENT pass
   if (cand0) cand = *cand0;
   else { cand.resize(g.n); for (i64 v = 0; v < g.n; v++) cand[v] = v; }
@@ -456,7 +456,7 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
   // refined candidate with the smallest cut)
   std::vector<char> side, cand;
   i64 best_cut = -1;
-  for (int r = 0; r < 3; r++) {
+  for (int r = 0; r < 5; r++) {
     initial_bisect(levels.back(), cand, ctx.rng);
     refine(levels.back(), cand);
     i64 cut = cut_weight(levels.back(), cand);
