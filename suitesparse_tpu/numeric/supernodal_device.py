@@ -517,11 +517,18 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
         # the TPU core runs ops serially anyway, so nothing is lost
         Cdata, _ = jax.lax.optimization_barrier((Cdata, token))
     # original entries: one sorted unique scatter of this group's nnz(A);
-    # f0 (distributed path) carries the psum-assembled cut contributions
+    # f0 (distributed path) carries the psum-assembled cut contributions.
+    # scatter-SET on the zero base (not add): scatter-add read-modify-writes
+    # every touched cell and measured ~8 ms slower at n=125k
     F = jnp.zeros(B * R * R, dtype=dtype) if f0 is None else f0.reshape(-1)
     if g.asrc.size:
-        F = F.at[ix["adst"]].add(Cdata[ix["asrc"]].astype(dtype),
-                                 indices_are_sorted=True, unique_indices=True)
+        vals = Cdata[ix["asrc"]].astype(dtype)
+        if f0 is None:
+            F = F.at[ix["adst"]].set(vals, indices_are_sorted=True,
+                                     unique_indices=True)
+        else:
+            F = F.at[ix["adst"]].add(vals, indices_are_sorted=True,
+                                     unique_indices=True)
     F = F.reshape(B, R, R)
 
     # extend-add: child update blocks placed via one-hot matmuls (MXU, fp32
