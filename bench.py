@@ -88,7 +88,7 @@ def main() -> None:
     _ = float(jnp.sum(out))            # warm sync
     K = int(os.environ.get("BENCH_PIPELINE", "20"))
     # each in-flight factorization holds a dev_size*4-byte output; cap the
-    # pipeline so outstanding outputs stay under ~5 GB (BENCH_SIZE=80's
+    # pipeline so outstanding outputs stay under ~8 GB (BENCH_SIZE=80's
     # 2 GB factors would otherwise OOM the pipelined burst)
     out_bytes = S._device_plan.dev_size * 4
     K = max(2, min(K, int(8e9 // max(out_bytes, 1))))

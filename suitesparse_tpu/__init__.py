@@ -142,7 +142,9 @@ def cholsol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
     S = analyze(A, config)
     if np.iscomplexobj(A.data) and S.fl >= 2e6:
         from .numeric.complex_embed import cholsol_complex_device
-        return cholsol_complex_device(A, b, config)
+        # reuse the ordering the analysis just computed (review finding:
+        # the embedded path recomputed it from scratch)
+        return cholsol_complex_device(A, b, config, perm=S.perm)
     F = factorize(A, S, config)
     return solve(F, b)
 

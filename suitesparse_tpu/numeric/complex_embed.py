@@ -50,12 +50,13 @@ def embed_matrix(A: CSC) -> CSC:
     r = np.concatenate(rr)
     c = np.concatenate(cc)
     v = np.concatenate(vv)
-    keep = v != 0.0
-    # on the diagonal blocks of a Hermitian matrix y == 0; for sym=1 keep
-    # only the upper triangle of the embedded matrix
+    # STRUCTURAL embedding: zero-valued parts are kept so M's pattern
+    # depends only on A's pattern (a cached symbolic stays valid across
+    # value changes — the factor-many contract); only the stored-triangle
+    # filter is structural
     if A.sym == 1:
-        keep &= r <= c
-    r, c, v = r[keep], c[keep], v[keep]
+        keep = r <= c
+        r, c, v = r[keep], c[keep], v[keep]
     return from_triplets(2 * A.nrow, 2 * A.ncol, r, c, v, sym=A.sym)
 
 
@@ -82,25 +83,36 @@ def expand_perm(p: np.ndarray) -> np.ndarray:
 
 
 def cholsol_complex_device(A: CSC, b: np.ndarray,
-                           config: Config = DEFAULT) -> np.ndarray:
-    """HPD complex solve on the supernodal device path (embedded)."""
+                           config: Config = DEFAULT,
+                           perm: np.ndarray | None = None) -> np.ndarray:
+    """HPD complex solve on the supernodal device path (embedded).
+
+    ``perm``: optional precomputed fill-reducing permutation of the
+    COMPLEX pattern (callers that already analyzed A pass it to avoid a
+    second ordering). Factor-many safe: the embedded VALUES are regathered
+    from A.data on every call through a cached position map (the
+    ``_clow_data`` pattern), keyed on the pattern fingerprint."""
     from .supernodal_device import factorize_device
     from .supernodal_solve import solve_device
     from ..symbolic.supernodes import analyze_supernodal
 
+    pkey = A.pattern_key()
     cache = getattr(A, "_embed_chol", None)
-    if cache is None:
-        M = embed_matrix(A)
-        # order on the complex pattern (n nodes), expand to pairs so the
-        # 2x2 blocks stay adjacent (amalgamation fuses them)
-        from .. import _fill_reducing_perm
-        Ar = CSC(A.nrow, A.ncol, A.indptr, A.indices,
-                 np.abs(A.data), A.sym)
-        p = _fill_reducing_perm(Ar, config)
-        S = analyze_supernodal(M, expand_perm(p), config)
-        A._embed_chol = (M, S)
+    if cache is None or cache[0] != pkey:
+        Mpat = embed_matrix(A)           # structural: pattern-only use
+        if perm is None:
+            from .. import _fill_reducing_perm
+            Ar = CSC(A.nrow, A.ncol, A.indptr, A.indices,
+                     np.abs(A.data) + 1.0, A.sym)  # +1: keep full pattern
+            perm = _fill_reducing_perm(Ar, config)
+        S = analyze_supernodal(Mpat, expand_perm(perm), config)
+        A._embed_chol = (pkey, S)
     else:
-        M, S = cache
+        _, S = cache
+    # VALUES are re-embedded on every call (factor-many safe: in-place
+    # A.data changes flow through; the structural embedding keeps M's
+    # pattern — and thus S — value-independent)
+    M = embed_matrix(A)
     F = factorize_device(M, S, config)
     assert F.ok, f"embedded factorization failed at column {F.minor}"
     be = embed_vec(b)

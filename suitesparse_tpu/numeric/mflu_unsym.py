@@ -273,79 +273,77 @@ def _lu_group_body(g, ix, src, updates, key, dtype, precision,
     import jax.numpy as jnp
 
     asrc, adst, pair_arrs = ix
-    if True:
-        if True:
-            B, M, N, K, Cg = g.B, g.M, g.N, g.K, g.Cg
-            F = jnp.zeros(B * M * N, dtype=dtype)
-            if g.asrc.size:
-                F = F.at[adst].set(src[asrc], indices_are_sorted=True,
-                                   unique_indices=True)
-            F = F.reshape(B, M, N)
-            for (dc, gc, Kc, Nc, *_np), (psrc, pdst, rowmap, colmap) in zip(
-                    g.pairs, pair_arrs):
-                child = updates[(dc, gc)][psrc]
-                ri = jax.lax.broadcasted_iota(jnp.int32, (1, M, Kc), 1)
-                Prow = (ri == rowmap[:, None, :]).astype(dtype)
-                ci = jax.lax.broadcasted_iota(jnp.int32, (1, Nc, N), 2)
-                Pcol = (ci == colmap[:, :, None]).astype(dtype)
-                contrib = jnp.matmul(
-                    jnp.matmul(Prow, child, preferred_element_type=dtype,
-                               precision=precision),
-                    Pcol, preferred_element_type=dtype, precision=precision)
-                F = F.at[pdst].add(contrib, indices_are_sorted=True)
+    B, M, N, K, Cg = g.B, g.M, g.N, g.K, g.Cg
+    F = jnp.zeros(B * M * N, dtype=dtype)
+    if g.asrc.size:
+        F = F.at[adst].set(src[asrc], indices_are_sorted=True,
+                           unique_indices=True)
+    F = F.reshape(B, M, N)
+    for (dc, gc, Kc, Nc, *_np), (psrc, pdst, rowmap, colmap) in zip(
+            g.pairs, pair_arrs):
+        child = updates[(dc, gc)][psrc]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (1, M, Kc), 1)
+        Prow = (ri == rowmap[:, None, :]).astype(dtype)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (1, Nc, N), 2)
+        Pcol = (ci == colmap[:, :, None]).astype(dtype)
+        contrib = jnp.matmul(
+            jnp.matmul(Prow, child, preferred_element_type=dtype,
+                       precision=precision),
+            Pcol, preferred_element_type=dtype, precision=precision)
+        F = F.at[pdst].add(contrib, indices_are_sorted=True)
 
-            # home block = rows [0, Cg): nc live matched rows + dead unit
-            # rows (j, j) for the group's padded pivot columns
-            ncb = jnp.asarray(g.nc).reshape(B, 1, 1)
-            ri2 = jax.lax.broadcasted_iota(jnp.int32, (B, Cg, Cg), 1)
-            ci2 = jax.lax.broadcasted_iota(jnp.int32, (B, Cg, Cg), 2)
-            dead = (ci2 >= ncb) & (ri2 == ci2)
-            H = F[:, :Cg, :Cg] + jnp.where(dead, jnp.asarray(1.0, dtype), 0.0)
+    # home block = rows [0, Cg): nc live matched rows + dead unit
+    # rows (j, j) for the group's padded pivot columns
+    ncb = jnp.asarray(g.nc).reshape(B, 1, 1)
+    ri2 = jax.lax.broadcasted_iota(jnp.int32, (B, Cg, Cg), 1)
+    ci2 = jax.lax.broadcasted_iota(jnp.int32, (B, Cg, Cg), 2)
+    dead = (ci2 >= ncb) & (ri2 == ci2)
+    H = F[:, :Cg, :Cg] + jnp.where(dead, jnp.asarray(1.0, dtype), 0.0)
 
-            lu, piv, perm = jax.lax.linalg.lu(H)       # square home block
-            eyeg = jnp.where(ri2 == ci2, jnp.asarray(1.0, dtype), 0.0)
-            L11 = jnp.tril(lu, -1) + eyeg
-            U11 = jnp.triu(lu)
-            # GESP-style tiny-pivot perturbation (home block is structurally
-            # nonsingular via the matching; numerically tiny pivots are
-            # perturbed and refinement/fallback absorb the rest)
-            scale = jnp.max(jnp.abs(H), axis=(1, 2), keepdims=True)
-            tau = jnp.maximum(scale, 1.0) * jnp.asarray(tau_rel, dtype)
-            diag = jnp.sum(U11 * eyeg, axis=2, keepdims=True)
-            bump = jnp.where(jnp.abs(diag) < tau,
-                             jnp.where(diag < 0, -tau, tau) - diag, 0.0)
-            U11 = U11 + bump * eyeg
-            # permute trailing home-row columns by the same row permutation
-            pm = (jax.lax.broadcasted_iota(jnp.int32, (1, Cg, Cg), 2)
-                  == perm[:, :, None]).astype(dtype)
-            F12p = jnp.matmul(pm, F[:, :Cg, Cg:],
-                              preferred_element_type=dtype,
-                              precision=precision)
-            U12y = jax.lax.linalg.triangular_solve(
-                L11, F12p, left_side=True, lower=True, unit_diagonal=True)
-            # foreign rows: eliminate home pivots, keep STATIC order
-            F21 = F[:, Cg:, :Cg]
-            # row-permute columns of F21? no: F21 columns follow pivot
-            # ORDER, which is the home-block column order (unchanged);
-            # the multipliers solve against U11 from the right
-            L21 = jax.lax.linalg.triangular_solve(
-                U11, F21, left_side=False, lower=False)
-            CB = F[:, Cg:, Cg:] - jnp.matmul(L21, U12y,
-                                             preferred_element_type=dtype,
-                                             precision=precision)
-            # stored panel: [U rows (nc live of Cg) | CB rows]
-            top = jnp.concatenate([U11, U12y], axis=2)        # (B, Cg, N)
-            bot = jnp.concatenate(
-                [jnp.zeros((B, M - Cg, Cg), dtype=dtype), CB], axis=2)
-            TF = jnp.concatenate([top, bot], axis=1)          # (B, M, N)
-            ki = jax.lax.broadcasted_iota(jnp.int32, (B, K, M), 1)
-            mi = jax.lax.broadcasted_iota(jnp.int32, (B, K, M), 2)
-            ncb2 = jnp.asarray(g.nc).reshape(B, 1, 1)
-            want = jnp.where(ki < ncb2, ki, Cg + (ki - ncb2))
-            rowsel = (mi == want).astype(dtype)
-            R = jnp.matmul(rowsel, TF, preferred_element_type=dtype,
-                           precision=precision)
-            return R.reshape(-1), R
+    lu, piv, perm = jax.lax.linalg.lu(H)       # square home block
+    eyeg = jnp.where(ri2 == ci2, jnp.asarray(1.0, dtype), 0.0)
+    L11 = jnp.tril(lu, -1) + eyeg
+    U11 = jnp.triu(lu)
+    # GESP-style tiny-pivot perturbation (home block is structurally
+    # nonsingular via the matching; numerically tiny pivots are
+    # perturbed and refinement/fallback absorb the rest)
+    scale = jnp.max(jnp.abs(H), axis=(1, 2), keepdims=True)
+    tau = jnp.maximum(scale, 1.0) * jnp.asarray(tau_rel, dtype)
+    diag = jnp.sum(U11 * eyeg, axis=2, keepdims=True)
+    bump = jnp.where(jnp.abs(diag) < tau,
+                     jnp.where(diag < 0, -tau, tau) - diag, 0.0)
+    U11 = U11 + bump * eyeg
+    # permute trailing home-row columns by the same row permutation
+    pm = (jax.lax.broadcasted_iota(jnp.int32, (1, Cg, Cg), 2)
+          == perm[:, :, None]).astype(dtype)
+    F12p = jnp.matmul(pm, F[:, :Cg, Cg:],
+                      preferred_element_type=dtype,
+                      precision=precision)
+    U12y = jax.lax.linalg.triangular_solve(
+        L11, F12p, left_side=True, lower=True, unit_diagonal=True)
+    # foreign rows: eliminate home pivots, keep STATIC order
+    F21 = F[:, Cg:, :Cg]
+    # row-permute columns of F21? no: F21 columns follow pivot
+    # ORDER, which is the home-block column order (unchanged);
+    # the multipliers solve against U11 from the right
+    L21 = jax.lax.linalg.triangular_solve(
+        U11, F21, left_side=False, lower=False)
+    CB = F[:, Cg:, Cg:] - jnp.matmul(L21, U12y,
+                                     preferred_element_type=dtype,
+                                     precision=precision)
+    # stored panel: [U rows (nc live of Cg) | CB rows]
+    top = jnp.concatenate([U11, U12y], axis=2)        # (B, Cg, N)
+    bot = jnp.concatenate(
+        [jnp.zeros((B, M - Cg, Cg), dtype=dtype), CB], axis=2)
+    TF = jnp.concatenate([top, bot], axis=1)          # (B, M, N)
+    ki = jax.lax.broadcasted_iota(jnp.int32, (B, K, M), 1)
+    mi = jax.lax.broadcasted_iota(jnp.int32, (B, K, M), 2)
+    ncb2 = jnp.asarray(g.nc).reshape(B, 1, 1)
+    want = jnp.where(ki < ncb2, ki, Cg + (ki - ncb2))
+    rowsel = (mi == want).astype(dtype)
+    R = jnp.matmul(rowsel, TF, preferred_element_type=dtype,
+                   precision=precision)
+    return R.reshape(-1), R
 
 
 def _run_lu_unsym_plan(plan, Adata, bflat, dtype, precision=None,

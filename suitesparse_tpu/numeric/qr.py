@@ -294,6 +294,16 @@ def qrsol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
         F = qr_host(A, S, config)
         return qr_solve(F, b)
     # underdetermined: QR of A', min-norm solution x = Q (R'^{-1} b(q))
+    if np.iscomplexobj(A.data) or np.iscomplexobj(b):
+        # the real host path below would silently drop Im(b); the 2x2 real
+        # embedding preserves both the constraint set and ||x||_2, so the
+        # embedded min-norm solution IS the complex min-norm solution
+        from .complex_embed import embed_matrix, embed_vec, unembed_vec
+        M = embed_matrix(A if np.iscomplexobj(A.data) else CSC(
+            A.nrow, A.ncol, A.indptr, A.indices,
+            A.data.astype(np.complex128), A.sym))
+        z = qrsol(M, embed_vec(np.asarray(b, dtype=np.complex128)), config)
+        return unembed_vec(z)
     At = A.transpose()
     S = symbolic_qr(At, config)
     F = qr_host(At, S, config)

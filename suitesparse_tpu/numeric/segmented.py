@@ -73,7 +73,10 @@ def run_qrplan_segmented(plan, holder, src, dtype, precision, body,
 
     segs = _schedule(plan, budget_cells)
     order, last_consumer = _consumers(plan)
-    key = (str(dtype), str(precision), budget_cells)
+    # key must pin the PLAN identity: build_qr_plan rebuilds on nrhs change
+    # and stale segment programs would gather the new src buffer with old
+    # indices (silent wrong answers — review finding r2)
+    key = (id(plan), plan.nrhs, str(dtype), str(precision), budget_cells)
     cache = getattr(holder, cache_attr, None)
     if cache is None or cache[0] != key:
         fns = []

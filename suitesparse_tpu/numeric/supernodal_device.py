@@ -676,7 +676,10 @@ def _run_plan_segmented(plan: Plan, S, cdata, dtype, udtype, precision,
     # arguments instead of baked HLO constants — giant embedded constants
     # made remote compiles of audikw-class segments pathologically slow
     args_mode = os.environ.get("SSTPU_SEG_ARGS", "1") == "1"
-    key = (str(dtype), str(udtype), str(precision), budget_cells, args_mode)
+    key = (id(plan), plan.dev_size,
+           sum(len(gl) for gl in plan.groups),
+           str(dtype), str(udtype), str(precision),
+           budget_cells, args_mode)
     cache = getattr(S, "_seg_cache", None)
     if cache is None or cache[0] != key:
         fns = []

@@ -244,6 +244,7 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
         S._solve_plans = None
         S._solve_cache = None
         S._mf2_plan = None
+        S._seg_cache = None
         prec = {"highest": jax.lax.Precision.HIGHEST,
                 "high": jax.lax.Precision.HIGH,
                 "default": jax.lax.Precision.DEFAULT}[config.precision]
