@@ -85,3 +85,23 @@ def test_partition_leaf_pairs_are_device_local():
         p = S.sparent[s]
         if part.top[s] and p >= 0:
             assert part.top[p]
+
+
+def test_single_chip_factorize_after_distributed(monkeypatch):
+    """After dist_factorize_v2 swaps in the split-mask plan, a segmented
+    single-chip factorize on the same symbolic must use programs built for
+    THAT plan (review finding r2: stale segment cache)."""
+    monkeypatch.setenv("SSTPU_SEGMENT", "1")
+    monkeypatch.setenv("SSTPU_SEG_CELLS", "5000")
+    from suitesparse_tpu.numeric import supernodal_device as sd
+
+    A = fixtures.laplacian_3d(6)
+    S = analyze_supernodal(A, amd_order(A))
+    F0 = sd.factorize_device(A, S)          # seg cache for plan v1
+    Fd = dist_factorize_v2(A, S, _mesh(4))  # swaps in the split plan
+    F1 = sd.factorize_device(A, S)          # must NOT reuse v1 programs
+    b = np.ones(A.ncol)
+    x = supernodal_solve.solve_device(F1, b)
+    assert sst.residual_norm(A, x, b) < 1e-5
+    xd = supernodal_solve.solve_device(Fd, b)
+    assert sst.residual_norm(A, xd, b) < 1e-5
