@@ -38,7 +38,7 @@ from ..numeric.supernodal import SupernodalFactor
 from ..numeric import supernodal_device as sd
 from .schedule import partition_tree
 
-__all__ = ["dist_factorize_v2", "build_dist_plan"]
+__all__ = ["dist_factorize_v2", "dist_solve_v2", "build_dist_plan"]
 
 
 class _Shim:
@@ -132,8 +132,10 @@ def build_dist_plan(S: SupernodalSymbolic, C_low: CSC, ndev: int):
             assert np.array_equal(pdev, cdevs[src]), "cross-device leaf pair"
             pcnt = np.bincount(pdev, minlength=ndev)
             pmax = max(int(pcnt.max()), 1)
-            src_d = np.zeros((ndev, pmax), dtype=np.int32)
-            dst_d = np.zeros((ndev, pmax), dtype=np.int32)
+            # pads are OUT OF BOUNDS (dropped by the scatter) — a slot-0
+            # pad would CLOBBER real data in the solve's .set push-down
+            src_d = np.full((ndev, pmax), cBd, dtype=np.int32)
+            dst_d = np.full((ndev, pmax), Bd, dtype=np.int32)
             idx_d = np.full((ndev, pmax, pc.RU_c), -1, dtype=np.int32)
             for d0 in range(ndev):
                 sel = pdev == d0
@@ -168,8 +170,9 @@ def build_dist_plan(S: SupernodalSymbolic, C_low: CSC, ndev: int):
             pdev = cdevs[src]           # device owning the child
             pcnt = np.bincount(pdev, minlength=ndev)
             pmax = max(int(pcnt.max()), 1)
-            src_d = np.zeros((ndev, pmax), dtype=np.int32)
-            dst_d = np.zeros((ndev, pmax), dtype=np.int32)
+            # OOB pads (see leaf pair_sets note)
+            src_d = np.full((ndev, pmax), cBd, dtype=np.int32)
+            dst_d = np.full((ndev, pmax), g.B, dtype=np.int32)
             idx_d = np.full((ndev, pmax, pc.RU_c), -1, dtype=np.int32)
             for d0 in range(ndev):
                 sel = pdev == d0
@@ -215,6 +218,51 @@ def build_dist_plan(S: SupernodalSymbolic, C_low: CSC, ndev: int):
         "can_src_pos": (np.concatenate(can_src_pos) if can_src_pos
                         else np.empty(0, np.int64)),
     }
+
+    # ---- distributed-solve arrays (consumed by dist_solve_v2) ----
+    # per leaf group: per-device global column ids (pad -> n) and per-device
+    # canonical-panel gather maps (slot panels from the canonical Lx)
+    n = S.n
+    solve_leaf = []
+    for li, k in enumerate(leaf_groups):
+        g = plan.groups[k[0]][k[1]]
+        devs, lslot, Bd = leaf_meta[li]
+        R, C = g.R, g.C
+        col_d = np.full((ndev, Bd * C), n, dtype=np.int64)
+        pan_d = np.full((ndev, Bd * R * C), plan.dev_size, dtype=np.int64)
+        cell = np.arange(R * C, dtype=np.int64)
+        for b, s in enumerate(g.snodes):
+            d0, ls = devs[b], lslot[b]
+            f = int(S.super_first[s])
+            nc = int(S.super_first[s + 1]) - f
+            col_d[d0, ls * C:ls * C + nc] = np.arange(f, f + nc)
+            pan_d[d0, ls * R * C:(ls + 1) * R * C] = \
+                g.panel_base + b * R * C + cell
+        solve_leaf.append({"col": col_d, "pan": pan_d})
+    # x assembly: canonical x row for each (device, leaf group, slot, k)
+    # laid out as the concat of per-device per-group xc buffers
+    xrow_parts_dev = []
+    xoff = 0
+    xmap_dst, xmap_dev, xmap_pos = [], [], []
+    for li, k in enumerate(leaf_groups):
+        g = plan.groups[k[0]][k[1]]
+        devs, lslot, Bd = leaf_meta[li]
+        C = g.C
+        for b, s in enumerate(g.snodes):
+            f = int(S.super_first[s])
+            nc = int(S.super_first[s + 1]) - f
+            xmap_dst.append(np.arange(f, f + nc))
+            xmap_dev.append(np.full(nc, devs[b], dtype=np.int64))
+            xmap_pos.append(xoff + lslot[b] * C + np.arange(nc))
+        xoff += Bd * C
+    dist["solve_leaf"] = solve_leaf
+    dist["x_cells_dev"] = xoff          # per-device xc concat length
+    dist["xmap_dst"] = (np.concatenate(xmap_dst) if xmap_dst
+                        else np.empty(0, np.int64))
+    dist["xmap_dev"] = (np.concatenate(xmap_dev) if xmap_dev
+                        else np.empty(0, np.int64))
+    dist["xmap_pos"] = (np.concatenate(xmap_pos) if xmap_pos
+                        else np.empty(0, np.int64))
     return plan, part, dist
 
 
@@ -384,8 +432,9 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
             return Lx
 
         fn = jax.jit(full_fn)
-        S._dist2_cache = (key, fn, leaf_args, cut_args, plan, part)
-    _, fn, leaf_args, cut_args, plan, part = S._dist2_cache
+        S._dist2_cache = (key, fn, leaf_args, cut_args, plan, part, dist,
+                          mesh)
+    _, fn, leaf_args, cut_args, plan, part, dist, mesh = S._dist2_cache
     import jax.numpy as jnp
     cdev = jax.device_put(
         sd._clow_data(A, S),
@@ -396,4 +445,326 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
         minor = sd._find_minor(S, plan, Lx)
     F = SupernodalFactor(S=S, Lx=Lx, minor=minor, layout="device")
     F._dist_plan = plan
+    F._dist2 = True
     return F
+
+
+def dist_solve_v2(F, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
+    """Distributed solve over a dist_factorize_v2 factor.
+
+    Mirrors the factorization's communication structure: each device runs
+    the forward/backward sweeps over ITS OWN subtree groups under
+    ``shard_map`` (panels gathered from the replicated canonical factor by
+    per-device slot maps; leaf-to-leaf contribution routing is device-local
+    by construction), the cut contributions combine with ONE ``psum``, the
+    separator-crown (top) sweeps run as plain replicated ops, and the top
+    solution broadcasts back into the leaf backward sweep with no further
+    collectives (children SELECT rows from the replicated top state)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    S = F.S
+    assert getattr(F, "_dist2", False), "factor is not from dist_factorize_v2"
+    (_, _, leaf_args, cut_args, plan, part, dist,
+     mesh) = S._dist2_cache
+    axes = tuple(mesh.axis_names)
+    ndev = dist["ndev"]
+    n = S.n
+    b = np.asarray(b, dtype=np.float64)
+    one_d = b.ndim == 1
+    bb = b.reshape(-1, 1) if one_d else b
+    nrhs = bb.shape[1]
+    dtype = jnp.float32
+
+    dist_groups = dist["dist_groups"]
+    cut_sets = dist["cut_sets"]
+    top_plan = dist["top_plan"]
+    top_groups = dist["top_groups"]
+    solve_leaf = dist["solve_leaf"]
+    nleaf = len(dist_groups)
+
+    cache = getattr(S, "_dist2_solve", None)
+    if cache is None or cache[0] != nrhs:
+        def shard_leading(x):
+            return jax.device_put(x, NamedSharding(mesh, P(axes)))
+
+        sargs = [(shard_leading(sl["col"]), shard_leading(sl["pan"]))
+                 for sl in solve_leaf]
+
+        # static helpers -------------------------------------------------
+        def panels_of(Lxp, pan, Bd, R, C, ncarr):
+            Pn = Lxp[pan].reshape(Bd, R, C)
+            L11 = Pn[:, :C, :]
+            ridx = jax.lax.broadcasted_iota(jnp.int32, (Bd, C, C), 1)
+            cidx = jax.lax.broadcasted_iota(jnp.int32, (Bd, C, C), 2)
+            ncb = ncarr.reshape(Bd, 1, 1)
+            eye = jnp.where(ridx == cidx, jnp.asarray(1.0, dtype), 0.0)
+            live = (ridx < ncb) & (cidx < ncb)
+            return jnp.where(live, L11, eye), Pn[:, C:, :]
+
+        def trisolve(L11, yc, transpose):
+            return jax.lax.linalg.triangular_solve(
+                L11, yc, left_side=True, lower=True, transpose_a=transpose)
+
+        top_base = []
+        off = 0
+        for k in top_groups:
+            g = plan.groups[k[0]][k[1]]
+            top_base.append(off)
+            off += g.B * g.R * nrhs
+        wtop_cells = off
+        # top-group column ids (for yc gather and final x placement)
+        top_cols = []
+        for k in top_groups:
+            g = plan.groups[k[0]][k[1]]
+            ci = np.full(g.B * g.C, n, dtype=np.int64)
+            for bslot, sn in enumerate(g.snodes):
+                f = int(S.super_first[sn])
+                nc = int(S.super_first[sn + 1]) - f
+                ci[bslot * g.C:bslot * g.C + nc] = np.arange(f, f + nc)
+            top_cols.append(ci)
+
+        def leaf_fwd(Lx, pbp, sa, la, ca):
+            Lxp = jnp.concatenate([Lx.astype(dtype),
+                                   jnp.zeros(1, dtype=dtype)])
+            yfwd, V = [], {}
+            for li, dg in enumerate(dist_groups):
+                R, C, Bd = dg["R"], dg["C"], dg["Bd"]
+                RU = R - C
+                col, pan = sa[li][0][0], sa[li][1][0]
+                ncarr = la[li][2][0]
+                L11, L21 = panels_of(Lxp, pan, Bd, R, C, ncarr)
+                w = jnp.zeros((Bd, R, nrhs), dtype=dtype)
+                for (cli, RU_c, pmax, _, _, _), pa in zip(dg["pairs"],
+                                                          la[li][3]):
+                    src, dst, idx = pa[0][0], pa[1][0], pa[2][0]
+                    Vc = V[cli][src]
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, R, RU_c), 1)
+                    Pm = (iota == idx[:, None, :]).astype(dtype)
+                    w = w.at[dst].add(jnp.matmul(
+                        Pm, Vc, preferred_element_type=dtype),
+                        indices_are_sorted=True)
+                yc = pbp[col].reshape(Bd, C, nrhs) - w[:, :C, :]
+                xc = trisolve(L11, yc, False)
+                yfwd.append(xc)
+                if RU > 0:
+                    V[li] = jnp.matmul(L21, xc,
+                                       preferred_element_type=dtype) \
+                        + w[:, C:, :]
+                else:
+                    V[li] = jnp.zeros((Bd, 1, nrhs), dtype=dtype)
+            # cut contributions into the top-front w vector heap
+            wtop = jnp.zeros(wtop_cells, dtype=dtype)
+            for ci_, (cli, RU_c, pmax, R, tgi, _, _, _) in \
+                    enumerate(cut_sets):
+                srcs, dsts, idxs = ca[ci_][0][0], ca[ci_][1][0], \
+                    ca[ci_][2][0]
+                Vc = V[cli][srcs]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, RU_c), 1)
+                Pm = (iota == idxs[:, None, :]).astype(dtype)
+                placed = jnp.matmul(Pm, Vc, preferred_element_type=dtype)
+                g = plan.groups[top_groups[tgi][0]][top_groups[tgi][1]]
+                buf = jax.lax.dynamic_slice(
+                    wtop, (top_base[tgi],),
+                    (g.B * g.R * nrhs,)).reshape(g.B, g.R, nrhs)
+                buf = buf.at[dsts].add(placed, indices_are_sorted=True)
+                wtop = jax.lax.dynamic_update_slice(
+                    wtop, buf.reshape(-1), (top_base[tgi],))
+            wtop = jax.lax.psum(wtop, axes)
+            return [y[None] for y in yfwd], wtop[None]
+
+        def leaf_bwd(Lx, sa, la, ca, yf, fxtop):
+            Lxp = jnp.concatenate([Lx.astype(dtype),
+                                   jnp.zeros(1, dtype=dtype)])
+            xb = {}
+            # cut pulls: children select their below rows from the top fx
+            for ci_, (cli, RU_c, pmax, R, tgi, _, _, _) in \
+                    enumerate(cut_sets):
+                srcs, dsts, idxs = ca[ci_][0][0], ca[ci_][1][0], \
+                    ca[ci_][2][0]
+                g = plan.groups[top_groups[tgi][0]][top_groups[tgi][1]]
+                rows = jax.lax.dynamic_slice(
+                    fxtop, (top_base[tgi],),
+                    (g.B * g.R * nrhs,)).reshape(g.B, g.R, nrhs)[dsts]
+                iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, RU_c), 1)
+                Pm = (iota == idxs[:, None, :]).astype(dtype)
+                childx = jnp.matmul(jnp.swapaxes(Pm, 1, 2), rows,
+                                    preferred_element_type=dtype)
+                cdg = dist_groups[cli]
+                buf = xb.get(cli)
+                if buf is None:
+                    buf = jnp.zeros((cdg["Bd"], max(cdg["R"] - cdg["C"], 1),
+                                     nrhs), dtype=dtype)
+                xb[cli] = buf.at[srcs].set(childx, unique_indices=True)
+            xcs = []
+            for li in range(nleaf - 1, -1, -1):
+                dg = dist_groups[li]
+                R, C, Bd = dg["R"], dg["C"], dg["Bd"]
+                RU = R - C
+                col, pan = sa[li][0][0], sa[li][1][0]
+                ncarr = la[li][2][0]
+                L11, L21 = panels_of(Lxp, pan, Bd, R, C, ncarr)
+                yc = yf[li][0]
+                below = xb.get(li)
+                if below is None:
+                    below = jnp.zeros((Bd, max(RU, 1), nrhs), dtype=dtype)
+                if RU > 0:
+                    yc = yc - jnp.matmul(jnp.swapaxes(L21, 1, 2),
+                                         below[:, :RU],
+                                         preferred_element_type=dtype)
+                xc = trisolve(L11, yc, True)
+                xcs.append(xc)
+                # push down to leaf children
+                fx = (jnp.concatenate([xc, below[:, :RU]], axis=1)
+                      if RU > 0 else xc)
+                for (cli, RU_c, pmax, _, _, _), pa in zip(dg["pairs"],
+                                                          la[li][3]):
+                    src, dst, idx = pa[0][0], pa[1][0], pa[2][0]
+                    rows = fx[dst]
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, R, RU_c), 1)
+                    Pm = (iota == idx[:, None, :]).astype(dtype)
+                    childx = jnp.matmul(jnp.swapaxes(Pm, 1, 2), rows,
+                                        preferred_element_type=dtype)
+                    cdg = dist_groups[cli]
+                    buf = xb.get(cli)
+                    if buf is None:
+                        buf = jnp.zeros(
+                            (cdg["Bd"], max(cdg["R"] - cdg["C"], 1), nrhs),
+                            dtype=dtype)
+                    xb[cli] = buf.at[src].set(childx, unique_indices=True)
+            xcs = xcs[::-1]
+            xcat = jnp.concatenate([x.reshape(-1, nrhs) for x in xcs],
+                                   axis=0)
+            return xcat[None]
+
+        in_fwd = (P(), P(),
+                  [(P(axes), P(axes)) for _ in sargs],
+                  [tuple([P(axes), P(axes), P(axes),
+                          [(P(axes),) * 3 for _ in la[3]]])
+                   for la in leaf_args],
+                  [(P(axes),) * 3 for _ in cut_args])
+        out_fwd = ([P(axes) for _ in dist_groups], P(axes))
+        in_bwd = (P(),
+                  [(P(axes), P(axes)) for _ in sargs],
+                  [tuple([P(axes), P(axes), P(axes),
+                          [(P(axes),) * 3 for _ in la[3]]])
+                   for la in leaf_args],
+                  [(P(axes),) * 3 for _ in cut_args],
+                  [P(axes) for _ in dist_groups], P())
+        out_bwd = P(axes)
+
+        def solve_fn(Lx, pbp):
+            pbp = pbp.astype(dtype)
+            yf, wtop_r = shard_map(leaf_fwd, mesh=mesh, in_specs=in_fwd,
+                                   out_specs=out_fwd, check_rep=False)(
+                Lx, pbp, sargs, leaf_args, cut_args)
+            wtop = wtop_r[0]
+            Lxp = jnp.concatenate([Lx.astype(dtype),
+                                   jnp.zeros(1, dtype=dtype)])
+            # ---- top forward (replicated) ----
+            up = {}
+            tyf = {}
+            for ti, (k, keep_pairs, keep_arrays) in enumerate(top_plan):
+                g = plan.groups[k[0]][k[1]]
+                B, R, C = g.B, g.R, g.C
+                RU = R - C
+                Pn = jax.lax.dynamic_slice_in_dim(
+                    Lxp, g.panel_base, B * R * C).reshape(B, R, C)
+                L11 = Pn[:, :C, :]
+                ridx = jax.lax.broadcasted_iota(jnp.int32, (B, C, C), 1)
+                cidx = jax.lax.broadcasted_iota(jnp.int32, (B, C, C), 2)
+                ncb = jnp.asarray(g.nc).reshape(B, 1, 1)
+                eye = jnp.where(ridx == cidx, jnp.asarray(1.0, dtype), 0.0)
+                live = (ridx < ncb) & (cidx < ncb)
+                L11 = jnp.where(live, L11, eye)
+                L21 = Pn[:, C:, :]
+                w = jax.lax.dynamic_slice(
+                    wtop, (top_base[ti],),
+                    (B * R * nrhs,)).reshape(B, R, nrhs)
+                for pc, (src, dst, idx) in zip(keep_pairs, keep_arrays):
+                    cti = top_groups.index((pc.src_level, pc.src_gi))
+                    Vc = up[cti][src]
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, R, pc.RU_c), 1)
+                    Pm = (iota == idx[:, None, :]).astype(dtype)
+                    w = w.at[dst].add(jnp.matmul(
+                        Pm, Vc, preferred_element_type=dtype),
+                        indices_are_sorted=True)
+                yc = pbp[jnp.asarray(top_cols[ti])].reshape(B, C, nrhs) \
+                    - w[:, :C, :]
+                xc = trisolve_top(L11, yc, False)
+                tyf[ti] = (xc, L11, L21, w)
+                up[ti] = (jnp.matmul(L21, xc, preferred_element_type=dtype)
+                          + w[:, C:, :]) if RU > 0 else \
+                    jnp.zeros((B, 1, nrhs), dtype=dtype)
+            # ---- top backward (replicated) ----
+            fxtop = jnp.zeros(wtop_cells, dtype=dtype)
+            txb = {}
+            txc = {}
+            for ti in range(len(top_plan) - 1, -1, -1):
+                k, keep_pairs, keep_arrays = top_plan[ti]
+                g = plan.groups[k[0]][k[1]]
+                B, R, C = g.B, g.R, g.C
+                RU = R - C
+                xc, L11, L21, _ = tyf[ti]
+                below = txb.get(ti)
+                if below is None:
+                    below = jnp.zeros((B, max(RU, 1), nrhs), dtype=dtype)
+                yc = xc
+                if RU > 0:
+                    yc = yc - jnp.matmul(jnp.swapaxes(L21, 1, 2),
+                                         below[:, :RU],
+                                         preferred_element_type=dtype)
+                xs = trisolve_top(L11, yc, True)
+                txc[ti] = xs
+                fx = (jnp.concatenate([xs, below[:, :RU]], axis=1)
+                      if RU > 0 else xs)
+                fxtop = jax.lax.dynamic_update_slice(
+                    fxtop, fx.reshape(-1), (top_base[ti],))
+                for pc, (src, dst, idx) in zip(keep_pairs, keep_arrays):
+                    cti = top_groups.index((pc.src_level, pc.src_gi))
+                    rows = fx[dst]
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, R, pc.RU_c), 1)
+                    Pm = (iota == idx[:, None, :]).astype(dtype)
+                    childx = jnp.matmul(jnp.swapaxes(Pm, 1, 2), rows,
+                                        preferred_element_type=dtype)
+                    cg = plan.groups[pc.src_level][pc.src_gi]
+                    buf = txb.get(cti)
+                    if buf is None:
+                        buf = jnp.zeros(
+                            (cg.B, max(cg.R - cg.C, 1), nrhs), dtype=dtype)
+                    txb[cti] = buf.at[src].set(childx, unique_indices=True)
+            # ---- leaf backward (shard_map) ----
+            xcat = shard_map(leaf_bwd, mesh=mesh, in_specs=in_bwd,
+                             out_specs=out_bwd, check_rep=False)(
+                Lx, sargs, leaf_args, cut_args, yf, fxtop)
+            # ---- assemble x ----
+            x = jnp.zeros((n + 1, nrhs), dtype=dtype)
+            flat = xcat.reshape(-1, nrhs)
+            pos = (jnp.asarray(dist["xmap_dev"]) * dist["x_cells_dev"]
+                   + jnp.asarray(dist["xmap_pos"]))
+            x = x.at[jnp.asarray(dist["xmap_dst"])].set(flat[pos])
+            for ti, (k, _, _) in enumerate(top_plan):
+                g = plan.groups[k[0]][k[1]]
+                x = x.at[jnp.asarray(top_cols[ti])].set(
+                    txc[ti].reshape(g.B * g.C, nrhs))
+            return x[:n]
+
+        def trisolve_top(L11, yc, transpose):
+            import jax as _j
+            return _j.lax.linalg.triangular_solve(
+                L11, yc, left_side=True, lower=True, transpose_a=transpose)
+
+        jfn = jax.jit(solve_fn)
+        S._dist2_solve = (nrhs, jfn)
+    _, jfn = S._dist2_solve
+    pbp = np.concatenate([bb[S.perm], np.zeros((1, nrhs))], axis=0)
+    yz = np.asarray(jfn(F.Lx, jnp.asarray(pbp)), dtype=np.float64)
+    x = np.empty_like(yz)
+    x[S.perm] = yz
+    return x[:, 0] if one_d else x

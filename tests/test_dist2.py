@@ -105,3 +105,23 @@ def test_single_chip_factorize_after_distributed(monkeypatch):
     assert sst.residual_norm(A, x, b) < 1e-5
     xd = supernodal_solve.solve_device(Fd, b)
     assert sst.residual_norm(A, xd, b) < 1e-5
+
+
+@pytest.mark.parametrize("nd", [2, 8])
+def test_distributed_solve(nd):
+    """dist_solve_v2: shard_map leaf sweeps, one psum up, broadcast down;
+    matches the canonical solve and reaches fp32 residuals."""
+    from suitesparse_tpu.parallel.dist2 import dist_solve_v2
+
+    A = fixtures.laplacian_3d(7)
+    S = analyze_supernodal(A, amd_order(A))
+    F = dist_factorize_v2(A, S, _mesh(nd))
+    b = 1.0 + np.arange(A.ncol) / A.ncol
+    x = dist_solve_v2(F, b)
+    assert sst.residual_norm(A, x, b) < 1e-5
+    xr = supernodal_solve.solve_device(F, b)
+    assert np.abs(x - xr).max() / max(np.abs(xr).max(), 1) < 1e-5
+    B = np.random.default_rng(1).standard_normal((A.ncol, 4))
+    X = dist_solve_v2(F, B)
+    assert max(sst.residual_norm(A, X[:, j], B[:, j])
+               for j in range(4)) < 1e-5
