@@ -274,10 +274,10 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    try:
-        from jax import shard_map            # jax >= 0.8 home
-    except ImportError:                      # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+    # jax.shard_map (the 0.8+ home) drops check_rep; the experimental
+    # entry point still accepts it and this code relies on it (manual psum
+    # replication the checker cannot prove)
+    from jax.experimental.shard_map import shard_map
 
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     axes = tuple(mesh.axis_names)
@@ -466,10 +466,10 @@ def dist_solve_v2(F, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
-    try:
-        from jax import shard_map            # jax >= 0.8 home
-    except ImportError:                      # pragma: no cover
-        from jax.experimental.shard_map import shard_map
+    # jax.shard_map (the 0.8+ home) drops check_rep; the experimental
+    # entry point still accepts it and this code relies on it (manual psum
+    # replication the checker cannot prove)
+    from jax.experimental.shard_map import shard_map
 
     S = F.S
     assert getattr(F, "_dist2", False), "factor is not from dist_factorize_v2"
