@@ -94,6 +94,12 @@ def factorize(A: CSC, S: SymbolicChol, config: Config = DEFAULT) -> Factor:
             # LDL' is real-only (like the reference's supernodal LDL' gap);
             # Hermitian input routes to LL^H
             kind = FactorKind.SIMPLICIAL_LL
+    if np.iscomplexobj(A.data) and kind is FactorKind.SUPERNODAL_LL:
+        # the host supernodal kernels are real-only (they would silently
+        # cast); complex supernodal work belongs to the embedded device
+        # path (cholsol routes there) — direct factorize() falls back to
+        # the complex-capable simplicial LL^H
+        kind = FactorKind.SIMPLICIAL_LL
     with timed("factorize"):
         if kind is FactorKind.SIMPLICIAL_LL:
             F = simplicial.chol_up(A, S)

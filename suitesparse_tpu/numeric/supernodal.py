@@ -131,6 +131,9 @@ def _assemble_front_host(C_low: CSC, S: SupernodalSymbolic, s: int,
 def factorize_host(A: CSC, S: SupernodalSymbolic,
                    config: Config = DEFAULT) -> SupernodalFactor:
     """Numpy multifrontal factorization (oracle / small-matrix path)."""
+    assert not np.iscomplexobj(A.data), (
+        "host supernodal kernels are real-only; complex routes through "
+        "numeric/complex_embed.py (cholsol does this automatically)")
     C = A.symperm(S.perm)
     C_low = C.transpose()  # lower triangle by columns, values included
     Lx = np.zeros(S.lnz)

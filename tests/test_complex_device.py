@@ -164,3 +164,22 @@ def test_qr_segmented_cache_not_reused_across_nrhs():
     finally:
         os.environ.pop("SSTPU_SEGMENT", None)
         os.environ.pop("SSTPU_SEG_CELLS", None)
+
+
+def test_midsize_complex_never_casts_to_real():
+    """Complex HPD sizes below the embed threshold but above the
+    supernodal switch used to silently cast to real in the host supernodal
+    kernels (stress-test find) — must now solve correctly via the
+    complex-capable simplicial path."""
+    import warnings
+
+    rng = np.random.default_rng(5)
+    for n in (80, 130):
+        H = rng.standard_normal((n, n)) + 1j * rng.standard_normal((n, n))
+        Hd = H @ H.conj().T + 3 * n * np.eye(n)
+        A = sparse.from_dense(Hd, sym=1)
+        b = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", np.exceptions.ComplexWarning)
+            x = sst.cholsol(A, b)
+        assert np.abs(Hd @ x - b).max() / np.abs(b).max() < 5e-4
