@@ -362,9 +362,9 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
                 Pm = (iota == idxs[:, None, :]).astype(dtype)
                 half = jnp.matmul(Pm, child, preferred_element_type=dtype,
                                   precision=prec)
-                contrib = jnp.swapaxes(jnp.matmul(
-                    Pm, jnp.swapaxes(half, 1, 2),
-                    preferred_element_type=dtype, precision=prec), 1, 2)
+                contrib = jnp.einsum('bik,bjk->bij', half, Pm,
+                                     preferred_element_type=dtype,
+                                     precision=prec)
                 F0s[tgi] = F0s[tgi].at[dsts].add(contrib)
             F0 = (jnp.concatenate([f.reshape(-1) for f in F0s])
                   if F0s else jnp.zeros(0, dtype=dtype))
