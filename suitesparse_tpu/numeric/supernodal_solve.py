@@ -139,8 +139,10 @@ def _solve_fn(plan: SolvePlan, Lx, b, dtype):
 
     def panels_of(g: SolveGroup):
         if plan.layout == "device":
-            P = jax.lax.dynamic_slice_in_dim(
-                Lxp, g.panel_base, g.B * g.R * g.C).reshape(g.B, g.R, g.C)
+            sl = jax.lax.dynamic_slice_in_dim(
+                Lxp, g.panel_base, g.B * g.R * g.C)
+            (sl,) = jax.lax.optimization_barrier((sl,))  # see _mf_solve_fn
+            P = sl.reshape(g.B, g.R, g.C)
         else:
             P = Lxp[g.panel_src].reshape(g.B, g.R, g.C)
         L11 = P[:, :g.C, :]
@@ -307,8 +309,10 @@ def _mf2_solve_fn(S: SupernodalSymbolic, plan, solve_plan, m2: MF2Plan,
     Lxp = jnp.concatenate([Lx.astype(dtype), jnp.zeros(1, dtype=dtype)])
 
     def panels_of(g):
-        P = jax.lax.dynamic_slice_in_dim(
-            Lxp, g.panel_base, g.B * g.R * g.C).reshape(g.B, g.R, g.C)
+        sl = jax.lax.dynamic_slice_in_dim(
+            Lxp, g.panel_base, g.B * g.R * g.C)
+        (sl,) = jax.lax.optimization_barrier((sl,))  # see _mf_solve_fn
+        P = sl.reshape(g.B, g.R, g.C)
         L11 = P[:, :g.C, :]
         ridx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 1)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 2)
@@ -407,8 +411,14 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
     Lxp = jnp.concatenate([Lx.astype(dtype), jnp.zeros(1, dtype=dtype)])
 
     def panels_of(g):
-        P = jax.lax.dynamic_slice_in_dim(
-            Lxp, g.panel_base, g.B * g.R * g.C).reshape(g.B, g.R, g.C)
+        sl = jax.lax.dynamic_slice_in_dim(
+            Lxp, g.panel_base, g.B * g.R * g.C)
+        # barrier: XLA's backend otherwise folds the per-group
+        # reshape-of-slice pattern into ONE whole-factor (X, R, C) reshape
+        # whose lane-padded tiling (C -> 128) cost 16x HBM — a 38 GB
+        # compile-time OOM at n=512k
+        (sl,) = jax.lax.optimization_barrier((sl,))
+        P = sl.reshape(g.B, g.R, g.C)
         L11 = P[:, :g.C, :]
         ridx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 1)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 2)
