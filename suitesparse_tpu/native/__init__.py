@@ -126,7 +126,7 @@ def _declare(dll) -> None:
     maybe("sstpu_edgecut", c, [c, _i64, _i64, _i64, d, d, c, _i64])
     maybe("sstpu_camd", c, [c, _i64, _i64, _i64, _i64, c])
     maybe("sstpu_wmatch", c, [c, c, _i64, _i64, _f64, _i64])
-    maybe("sstpu_aat", c, [c, _i64, _i64, c, _i64, _i64])
+    maybe("sstpu_aat", c, [c, _i64, _i64, _i64, _i64])
     vp = ctypes.c_void_p
     maybe("sstpu_super_analyze", vp,
           [c, _i64, _i64, _i64, _i64, c, c, c, d, d, d])
@@ -368,17 +368,17 @@ def wmatch(nrow: int, ncol: int, indptr: np.ndarray, indices: np.ndarray,
 
 
 def aat(n: int, indptr: np.ndarray, indices: np.ndarray) -> tuple:
-    """Pattern of A + A' minus the diagonal (amd_aat analog); input may be
-    the full pattern or one stored triangle."""
+    """Pattern of A + A' minus the diagonal (amd_aat analog), sorted and
+    deduplicated; input may be the full pattern or one stored triangle."""
     dll = _load()
     assert dll is not None and hasattr(dll, "sstpu_aat")
     indptr = np.ascontiguousarray(indptr, dtype=np.int64)
     indices = np.ascontiguousarray(indices, dtype=np.int64)
     tmp = np.zeros(n + 1, dtype=np.int64)
-    nnz = dll.sstpu_aat(n, _ptr_i64(indptr), _ptr_i64(indices), 0,
+    cap = dll.sstpu_aat(n, _ptr_i64(indptr), _ptr_i64(indices),
                         _ptr_i64(tmp), None)
     outp = np.zeros(n + 1, dtype=np.int64)
-    outi = np.empty(nnz, dtype=np.int64)
-    dll.sstpu_aat(n, _ptr_i64(indptr), _ptr_i64(indices), 0,
-                  _ptr_i64(outp), _ptr_i64(outi))
-    return outp, outi
+    outi = np.empty(cap, dtype=np.int64)
+    nnz = dll.sstpu_aat(n, _ptr_i64(indptr), _ptr_i64(indices),
+                        _ptr_i64(outp), _ptr_i64(outi))
+    return outp, outi[:nnz]

@@ -150,14 +150,14 @@ SSTPU_API void sstpu_col_counts(i64 n, i64 nrow, const i64* Ap, const i64* Ai,
   }
 }
 
-// Pattern of A + A' minus the diagonal (amd_aat.c analog). Input: CSC
-// pattern (sym handled by caller via full storage or upper: `upper` != 0
-// means only the stored triangle is given and the mirror is implied).
-// Two-pass counting construction, no sorts. Output columns are sorted
-// ascending because rows are emitted in two ordered sweeps per column.
-// outp must hold n+1; outi sized by a first call with outi == nullptr
-// (returns nnz).
-SSTPU_API i64 sstpu_aat(i64 n, const i64* Ap, const i64* Ai, i64 upper,
+// Pattern of A + A' minus the diagonal (amd_aat.c analog), DEDUPLICATED:
+// output columns are sorted ascending with unique rows regardless of the
+// input storage (full or one triangle — A+A' of one stored triangle equals
+// A+A' of the full pattern, so no `upper` flag is needed; ADVICE r2 removed
+// the ignored parameter). Protocol: first call with outi == nullptr returns
+// an UPPER BOUND for allocation; the filling call compacts in place,
+// rewrites outp, and returns the actual nnz.
+SSTPU_API i64 sstpu_aat(i64 n, const i64* Ap, const i64* Ai,
                         i64* outp, i64* outi) {
   std::vector<i64> cnt(n, 0);
   for (i64 j = 0; j < n; j++)
@@ -173,15 +173,9 @@ SSTPU_API i64 sstpu_aat(i64 n, const i64* Ap, const i64* Ai, i64 upper,
     outp[0] = nnz;
     return nnz;
   }
-  (void)upper;
   outp[0] = 0;
   for (i64 j = 0; j < n; j++) outp[j + 1] = outp[j] + cnt[j];
   std::vector<i64> cur(outp, outp + n);
-  // emit A entries (column sweep: rows ascending within a column) and the
-  // mirrored A' entries (for column r, entry j arrives in ascending j);
-  // interleaving the two ordered streams via a stable two-phase fill would
-  // lose ordering, so fill then sort small columns... instead: two passes
-  // keep per-column order only per stream; do a final per-column merge.
   for (i64 j = 0; j < n; j++)
     for (i64 p = Ap[j]; p < Ap[j + 1]; p++) {
       i64 r = Ai[p];
@@ -189,7 +183,21 @@ SSTPU_API i64 sstpu_aat(i64 n, const i64* Ap, const i64* Ai, i64 upper,
       outi[cur[j]++] = r;
       outi[cur[r]++] = j;
     }
-  for (i64 j = 0; j < n; j++)
-    std::sort(outi + outp[j], outi + outp[j + 1]);
-  return nnz;
+  // per-column sort + unique, compacting in place (duplicates arise both
+  // from full-storage mirroring and repeated entries in jumbled input)
+  i64 w = 0;
+  i64 prev_end = 0;
+  for (i64 j = 0; j < n; j++) {
+    i64 lo = prev_end, hi = outp[j + 1];
+    prev_end = hi;
+    std::sort(outi + lo, outi + hi);
+    i64 start = w;
+    for (i64 p = lo; p < hi; p++)
+      if (p == lo || outi[p] != outi[p - 1]) outi[w++] = outi[p];
+    outp[j] = start;
+  }
+  outp[n] = w;
+  // outp[j] currently holds column starts; shift into CSC convention
+  // (starts already correct: outp[j] = start of column j, outp[n] = nnz)
+  return w;
 }

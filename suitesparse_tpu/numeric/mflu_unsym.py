@@ -72,7 +72,17 @@ def analyze_mflu_unsym(A: CSC, config: Config = DEFAULT) -> LUUnsymSymbolic:
     else:
         from ..ordering.btf import maxtrans
         nmatch, match = maxtrans(A)
-    assert nmatch == n, "structurally singular matrix"
+    if nmatch < n:
+        # wmatch treats explicitly-stored zeros as absent edges (they carry
+        # -inf log-weight); a column whose stored entries are all 0.0 can
+        # come back unmatched even when a structural transversal exists.
+        # Complete the matching structurally (MC64's own completion step)
+        # before declaring the matrix singular (ADVICE r2).
+        from ..ordering.btf import maxtrans
+        nmatch2, match2 = maxtrans(A)
+        if nmatch2 == n:
+            nmatch, match = nmatch2, match2
+    assert nmatch == n, "structurally singular matrix (no full transversal)"
     # Ap has the matched entry of column j on the diagonal
     Ap = A.permuted(match, None)
     SQ = analyze_mfqr(Ap, config)

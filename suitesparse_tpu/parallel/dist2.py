@@ -41,6 +41,17 @@ from .schedule import partition_tree
 __all__ = ["dist_factorize_v2", "dist_solve_v2", "build_dist_plan"]
 
 
+def _dist_dtype(config: Config):
+    """Compute dtype for the distributed paths — honors
+    config.compute_dtype exactly as the single-chip factorize_device does
+    (ADVICE r2: the hardcoded fp32 silently downgraded fp64 opt-ins)."""
+    import jax
+    import jax.numpy as jnp
+
+    return jnp.float64 if (config.compute_dtype == "float64"
+                           and jax.config.jax_enable_x64) else jnp.float32
+
+
 class _Shim:
     """GroupPlan-shaped view with a per-device batch (for _group_compute)."""
 
@@ -296,10 +307,13 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
         S._solve_cache = None
         S._mf2_plan = None
         S._seg_cache = None
+        # the distributed-solve program closes over the OLD plan's sharded
+        # leaf args — invalidate it with the rest (ADVICE r2)
+        S._dist2_solve = None
         prec = {"highest": jax.lax.Precision.HIGHEST,
                 "high": jax.lax.Precision.HIGH,
                 "default": jax.lax.Precision.DEFAULT}[config.precision]
-        dtype = jnp.float32
+        dtype = _dist_dtype(config)
 
         dist_groups = dist["dist_groups"]
         cut_sets = dist["cut_sets"]
@@ -482,7 +496,7 @@ def dist_solve_v2(F, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
     one_d = b.ndim == 1
     bb = b.reshape(-1, 1) if one_d else b
     nrhs = bb.shape[1]
-    dtype = jnp.float32
+    dtype = _dist_dtype(config)
 
     dist_groups = dist["dist_groups"]
     cut_sets = dist["cut_sets"]
@@ -492,7 +506,7 @@ def dist_solve_v2(F, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
     nleaf = len(dist_groups)
 
     cache = getattr(S, "_dist2_solve", None)
-    if cache is None or cache[0] != nrhs:
+    if cache is None or cache[0] != (nrhs, str(dtype)):
         def shard_leading(x):
             return jax.device_put(x, NamedSharding(mesh, P(axes)))
 
@@ -767,7 +781,7 @@ def dist_solve_v2(F, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
                 L11, yc, left_side=True, lower=True, transpose_a=transpose)
 
         jfn = jax.jit(solve_fn)
-        S._dist2_solve = (nrhs, jfn)
+        S._dist2_solve = ((nrhs, str(dtype)), jfn)
     _, jfn = S._dist2_solve
     pbp = np.concatenate([bb[S.perm], np.zeros((1, nrhs))], axis=0)
     yz = np.asarray(jfn(F.Lx, jnp.asarray(pbp)), dtype=np.float64)

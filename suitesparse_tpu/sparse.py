@@ -414,20 +414,9 @@ class CSC:
         assert self.nrow == n
         from . import native
         if native.available():
+            # native construction sorts and dedups (full-storage mirroring
+            # duplicates included) — use the result directly
             outp, outi = native.aat(n, self.indptr, self.indices)
-            if self.sym == 0:
-                # a general pattern may store BOTH (i,j) and (j,i): the
-                # two-sweep construction then emits duplicates — drop
-                # repeats within each (sorted) column
-                col_of = np.repeat(np.arange(n), np.diff(outp))
-                rep = np.zeros(outi.size, dtype=bool)
-                rep[1:] = (outi[1:] == outi[:-1]) &                     (col_of[1:] == col_of[:-1])
-                if rep.any():
-                    keepm = ~rep
-                    counts = np.bincount(col_of[keepm], minlength=n)
-                    outp = np.zeros(n + 1, dtype=np.int64)
-                    np.cumsum(counts, out=outp[1:])
-                    outi = outi[keepm]
             return CSC(n, n, outp, outi, np.ones(outi.size), 0)
         A = self.to_full_storage() if self.sym != 0 else self
         cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(A.indptr))
