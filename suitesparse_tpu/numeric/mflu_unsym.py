@@ -465,17 +465,35 @@ def lu_unsym_solve_device(A: CSC, b: np.ndarray,
 
 def mflusol_unsym(A: CSC, b: np.ndarray,
                   config: Config = DEFAULT) -> np.ndarray:
-    """One-call unsymmetric multifrontal LU solve with iterative refinement.
+    """One-call unsymmetric multifrontal LU solve with iterative refinement
+    and DEVICE-LOCAL recovery from truly deficient fronts.
 
-    Falls back to the KLU path (exact cross-front partial pivoting, host)
-    when refinement cannot reach a clean residual — the analog of UMFPACK
-    delaying pivots out of a numerically deficient front."""
+    Escalation ladder (UMFPACK's delayed-pivot role, re-designed for static
+    shapes — ``umf_local_search.c`` delays a dead pivot into a grown parent
+    front; here the failure classes are removed in order):
+
+      1. matched-front LU, tiny pivots perturbed (GESP, tau 1e-6), second
+         device pass at tau 1e-3 if non-finite — handles numerically tiny
+         pivots (the common class);
+      2. fp64-residual iterative refinement — absorbs the perturbation;
+      3. if refinement STALLS above parity (an EXACTLY singular home block:
+         no local perturbation helps — the perturbed pivot's 1/tau inverse
+         keeps the contraction factor at O(1)), re-factor on device with the
+         multifrontal QR engine: orthogonal elimination needs no pivots at
+         all, so pivot migration is unnecessary — the TPU-shaped repair is
+         a uniform stable-elimination pass, not a dynamically re-shaped
+         front (a per-front LU/QR flag would force a fresh XLA compile per
+         failure pattern, slower than the whole QR pass);
+      4. host KLU (exact cross-front partial pivoting) only for inputs the
+         QR engine also rejects (true rank deficiency).
+    """
     if np.iscomplexobj(A.data) or np.iscomplexobj(b):
         from .complex_embed import lusol_complex_device
         return lusol_complex_device(A, np.asarray(b, dtype=np.complex128),
                                     config)
     Ag = A.to_full_storage() if A.sym != 0 else A
     b = np.asarray(b, dtype=np.float64)
+    from ..sparse import residual_norm
     try:
         SL = analyze_mflu_unsym(Ag, config)
         x = lu_unsym_solve_device(Ag, b, config, SL=SL)
@@ -487,10 +505,29 @@ def mflusol_unsym(A: CSC, b: np.ndarray,
                 break
             prev = nrm
             x = x + lu_unsym_solve_device(Ag, r, config, SL=SL)
-        from ..sparse import residual_norm
-        if residual_norm(Ag, x, b) < 1e-6:
+        if residual_norm(Ag, x, b) < 1e-12:
+            return x
+    except (AssertionError, ValueError):
+        x = None
+    # stalled or failed: device QR repair pass (+ refinement)
+    try:
+        from .mfqr_device import mfqrsol_device
+        from .multifrontal_qr import analyze_mfqr
+        SQR = analyze_mfqr(Ag, config)
+        xq = mfqrsol_device(Ag, b, config, SQ=SQR)
+        for _ in range(max(config.ir_steps, 2)):
+            r = b - Ag.matvec(xq)
+            if np.abs(r).max(initial=0.0) == 0.0:
+                break
+            xq = xq + mfqrsol_device(Ag, r, config, SQ=SQR)
+        rq = residual_norm(Ag, xq, b)
+        if x is None or rq <= residual_norm(Ag, x, b):
+            x = xq
+        if residual_norm(Ag, x, b) < 1e-9:
             return x
     except (AssertionError, ValueError):
         pass
+    if x is not None and residual_norm(Ag, x, b) < 1e-6:
+        return x
     from .lu import lusol
     return lusol(Ag, b, config)

@@ -69,6 +69,8 @@ class PairClass:
     src_gi: int
     RU_c: int              # child update block size (padded, = source group RU)
     npairs: int
+    strategy: str = "mm"   # placement strategy: mm | gather | scan
+    T: int = 0             # scan tile size (strategy == "scan")
 
 
 @dataclasses.dataclass
@@ -197,9 +199,13 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC,
                 gplans.append(_build_group(S, C_low, ss, R, C, place,
                                            children, pbase))
             groups_all.append(gplans)
-        return Plan(groups=groups_all, lnz=S.lnz, dev_size=panel_off, _S=S)
+        plan = Plan(groups=groups_all, lnz=S.lnz, dev_size=panel_off, _S=S)
+        _augment_pairs(plan)
+        return plan
     groups_all = _build_groups_vectorized(S, C_low, level_layouts, place)
-    return Plan(groups=groups_all, lnz=S.lnz, dev_size=panel_off, _S=S)
+    plan = Plan(groups=groups_all, lnz=S.lnz, dev_size=panel_off, _S=S)
+    _augment_pairs(plan)
+    return plan
 
 
 def _build_groups_vectorized(S: SupernodalSymbolic, C_low: CSC,
@@ -411,6 +417,133 @@ def _build_group(S: SupernodalSymbolic, C_low: CSC, ss, R, C, place,
     return g
 
 
+# measured device constants for the placement cost model (axon v5e-class
+# chip, round-3 profile: big one-hot placements ran at ~46 TF/s effective
+# HIGHEST / ~170 GB/s, tiny-op dispatch ~2.5 us)
+_PLACE_BW = 1.7e11      # bytes/s effective HBM
+_PLACE_OP = 2.5e-6      # seconds per XLA op dispatch
+_PLACE_MM = 4.6e13      # one-hot matmul effective flop rate (HIGHEST)
+
+
+def _runs_of(fc: np.ndarray):
+    """Contiguous increasing runs of sorted front coords: (front_start,
+    child_start, length) triples."""
+    if fc.size == 0:
+        return []
+    br = np.flatnonzero(np.diff(fc) != 1)
+    starts = np.concatenate([[0], br + 1])
+    ends = np.concatenate([br + 1, [fc.size]])
+    return [(int(fc[s]), int(s), int(e - s)) for s, e in zip(starts, ends)]
+
+
+def _scan_pieces(R: int, T: int, src, dst, idx):
+    """Build the (NPP, 10) int32 piece-pair array for the scan strategy:
+    each row (src_slot, dst_slot, wfs, wft, cs, ct, o_r, o_c, Lr, Lc)
+    describes one masked (T, T) window add F[ds, wfs:, wft:] += U[ss, cs:,
+    ct:]. Child windows index the (T, T)-edge-padded update buffer."""
+    rows = []
+    for p in range(dst.size):
+        fc = idx[p][idx[p] >= 0]
+        pieces = []
+        for (fs, a0, L) in _runs_of(fc):
+            for k in range(0, L, T):
+                Lk = min(T, L - k)
+                wfs = min(fs + k, R - T)
+                o = fs + k - wfs
+                cs = T + a0 + k - o
+                pieces.append((wfs, cs, o, Lk))
+        for (wa, ca, oa, La) in pieces:
+            for (wb, cb, ob, Lb) in pieces:
+                rows.append((int(src[p]), int(dst[p]), wa, wb, ca, cb,
+                             oa, ob, La, Lb))
+    return np.asarray(rows, dtype=np.int32).reshape(-1, 10)
+
+
+def _augment_pairs(plan: "Plan") -> None:
+    """Choose a placement strategy per pair class (VERDICT r3 item 1: the
+    one-hot P @ U @ P' matmuls were 66% of factor time at n=125k) and attach
+    the strategy's index arrays as ``g._place_extra`` (aligned with pairs):
+
+      * mm      — the one-hot matmul formulation (kept as oracle/fallback;
+                  the only GSPMD-safe one, used on the sharded dist2 path);
+      * gather  — two-stage row gather: half = rowplace(U) via a flat row
+                  gather, contrib = rowplace(half^T) (equal to P U P' because
+                  U is symmetric).  Exact at ANY precision, no P buffers, no
+                  MXU passes;
+      * scan    — for few-run classes (separator-crown chains whose child
+                  rows are long contiguous runs of the parent): a lax.scan of
+                  masked (T, T) dynamic-slice adds touching only the child's
+                  own cells (RU^2) instead of R^2 buffers.
+
+    Selection is by a measured-constant cost model; SSTPU_PLACE forces one
+    (auto | mm | gather | scan)."""
+    mode = os.environ.get("SSTPU_PLACE", "auto")
+    gid_B = {}
+    for d, glist in enumerate(plan.groups):
+        for gi, g in enumerate(glist):
+            gid_B[(d, gi)] = g.B
+    for glist in plan.groups:
+        for g in glist:
+            extras = []
+            R = g.R
+            for pc, (src, dst, idx) in zip(g.pairs, g._pair_arrays):
+                RU = pc.RU_c
+                np_ = pc.npairs
+                B_c = gid_B[(pc.src_level, pc.src_gi)]
+                t_mm = max(np_ * (5.0 * R * RU + 3.0 * R * R + RU * RU)
+                           * 4 / _PLACE_BW,
+                           np_ * (2.0 * R * RU * RU + 2.0 * R * R * RU)
+                           / _PLACE_MM) + 2 * _PLACE_OP
+                t_ga = np_ * (RU * RU + 4.0 * R * RU + 3.0 * R * R) * 4 \
+                    / _PLACE_BW + 3 * _PLACE_OP
+                best_scan = None
+                for T in (128, 256, 512):
+                    if T > R or T > RU + 1:
+                        continue
+                    npp = 0
+                    for p in range(np_):
+                        fc = idx[p][idx[p] >= 0]
+                        k = sum(-(-L // T) for (_f, _a, L) in _runs_of(fc))
+                        npp += k * k
+                    pad = 2.0 * B_c * (RU + 2 * T) ** 2 * 4 / _PLACE_BW
+                    t = npp * max(_PLACE_OP, 3.0 * T * T * 4 / _PLACE_BW) \
+                        + pad + 2 * _PLACE_OP
+                    if best_scan is None or t < best_scan[0]:
+                        best_scan = (t, T)
+                choice = "mm"
+                if mode == "mm":
+                    choice = "mm"
+                elif mode == "gather":
+                    choice = "gather" if t_ga < t_mm else "mm"
+                elif mode == "scan" and best_scan is not None:
+                    choice = "scan"
+                else:  # auto
+                    t_best = t_mm
+                    choice = "mm"
+                    if t_ga < t_best:
+                        t_best, choice = t_ga, "gather"
+                    if best_scan is not None and best_scan[0] < t_best:
+                        t_best, choice = best_scan[0], "scan"
+                pc.strategy = choice
+                if choice == "gather":
+                    inv = np.full((np_, R), RU, dtype=np.int64)
+                    for p in range(np_):
+                        fc = idx[p][idx[p] >= 0]
+                        inv[p, fc] = np.arange(fc.size)
+                    valid = inv < RU
+                    g1 = np.where(valid, src.astype(np.int64)[:, None] * RU
+                                  + inv, 0).astype(np.int32)
+                    g2 = np.where(valid, np.arange(np_, dtype=np.int64)
+                                  [:, None] * RU + inv, 0).astype(np.int32)
+                    extras.append((g1, g2, valid))
+                elif choice == "scan":
+                    pc.T = best_scan[1]
+                    extras.append((_scan_pieces(R, pc.T, src, dst, idx),))
+                else:
+                    extras.append(())
+            g._place_extra = extras
+
+
 def _ranges(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
     """Concatenated [starts[i], stops[i]) ranges (vectorized)."""
     lens = stops - starts
@@ -426,15 +559,29 @@ def _ranges(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
     return np.cumsum(out)
 
 
+def _class_arrays(g: GroupPlan):
+    """Per pair class: (src, dst, idx, *strategy_extras) tuples."""
+    extra = getattr(g, "_place_extra", None)
+    out = []
+    for i, (src, dst, idx) in enumerate(g._pair_arrays):
+        e = extra[i] if extra is not None else ()
+        out.append((src, dst, idx) + tuple(e))
+    return out
+
+
 def plan_arrays(plan: Plan):
     """Flatten index arrays (deterministic order) for passing as jit args."""
     flat = []
     for glist in plan.groups:
         for g in glist:
             flat += [g.asrc, g.adst, g.nc]
-            for (src, dst, idx) in g._pair_arrays:
-                flat += [src, dst, idx]
+            for arrs in _class_arrays(g):
+                flat += list(arrs)
     return flat
+
+
+def _n_class_arrays(pc: PairClass) -> int:
+    return 3 + {"mm": 0, "gather": 3, "scan": 1}[pc.strategy]
 
 
 def _unpack_idx(plan: Plan, flat):
@@ -445,8 +592,9 @@ def _unpack_idx(plan: Plan, flat):
         for g in glist:
             ix = {"asrc": next(it), "adst": next(it), "nc": next(it),
                   "pairs": []}
-            for _ in g.pairs:
-                ix["pairs"].append((next(it), next(it), next(it)))
+            for pc in g.pairs:
+                ix["pairs"].append(tuple(
+                    next(it) for _ in range(_n_class_arrays(pc))))
             lvl.append(ix)
         out.append(lvl)
     return out
@@ -531,25 +679,59 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
                                      unique_indices=True)
     F = F.reshape(B, R, R)
 
-    # extend-add: child update blocks placed via one-hot matmuls (MXU, fp32
-    # accumulation — udtype=bfloat16 halves the update traffic), then
-    # block-granular accumulation into parent slots. The barrier ties each
-    # class's inputs to the running F so XLA cannot hoist and co-materialize
-    # every class's P/contrib buffers (12.8 GB at audikw-class sizes).
-    for pc, (src, dst, idx) in zip(g.pairs, ix["pairs"]):
+    # extend-add: child update blocks placed by the per-class strategy
+    # chosen at plan time (_augment_pairs): exact row gathers / masked
+    # tile-window scans replace the round-2 one-hot matmuls (which were 66%
+    # of factor time at n=125k — VERDICT r3 item 1); the matmul form remains
+    # the GSPMD-safe fallback used on the sharded (cstr) path. The barrier
+    # ties each class's inputs to the running F so XLA cannot hoist and
+    # co-materialize every class's buffers (12.8 GB at audikw-class sizes).
+    for pc, arrs in zip(g.pairs, ix["pairs"]):
+        src, dst, idx = arrs[0], arrs[1], arrs[2]
+        RU_c = pc.RU_c
         Usrc = updates[(pc.src_level, pc.src_gi)]        # (B_c, RU_c, RU_c)
         if len(g.pairs) > 1:
             F, Usrc = jax.lax.optimization_barrier((F, Usrc))
-        child = Usrc[src]                                # contiguous row gather
-        iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, pc.RU_c), 1)
-        P = (iota == idx[:, None, :]).astype(dtype)      # (np, R, RU_c)
-        half = _onehot_place(P, child, dtype, precision)
-        # contrib = half @ P^T as a contracting einsum (transpose-free;
-        # the swapaxes route materialized the transpose, measured ~1.7x)
-        contrib = jnp.einsum('bik,bjk->bij', half, P,
-                             preferred_element_type=dtype,
-                             precision=precision)
-        F = F.at[dst].add(contrib, indices_are_sorted=True)
+        strat = pc.strategy if cstr is None else "mm"
+        if strat == "gather":
+            g1, g2, vld = arrs[3], arrs[4], arrs[5]
+            Uflat = Usrc.reshape(-1, RU_c)
+            half = jnp.where(vld[:, :, None], Uflat[g1], 0)   # (np, R, RU_c)
+            halfT = jnp.swapaxes(half, 1, 2).reshape(-1, R)
+            # U symmetric => rowplace(half^T) == P U P^T exactly
+            contrib = jnp.where(vld[:, :, None], halfT[g2], 0)
+            F = F.at[dst].add(contrib.astype(dtype),
+                              indices_are_sorted=True)
+        elif strat == "scan":
+            (pieces,) = arrs[3:4]
+            T = pc.T
+            Up = jnp.pad(Usrc, ((0, 0), (T, T), (T, T)))
+            ir = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 1)
+            ic = jax.lax.broadcasted_iota(jnp.int32, (1, T, T), 2)
+
+            def step(Fc, pp):
+                ss, ds, wfs, wft, cs, ct, oa, ob, La, Lb = [
+                    pp[i] for i in range(10)]
+                cw = jax.lax.dynamic_slice(Up, (ss, cs, ct), (1, T, T))
+                fw = jax.lax.dynamic_slice(Fc, (ds, wfs, wft), (1, T, T))
+                m = ((ir >= oa) & (ir < oa + La)
+                     & (ic >= ob) & (ic < ob + Lb))
+                fw = fw + jnp.where(m, cw.astype(dtype), 0)
+                return jax.lax.dynamic_update_slice(
+                    Fc, fw, (ds, wfs, wft)), None
+
+            F, _ = jax.lax.scan(step, F, pieces)
+        else:
+            child = Usrc[src]                            # contiguous rows
+            iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, RU_c), 1)
+            P = (iota == idx[:, None, :]).astype(dtype)  # (np, R, RU_c)
+            half = _onehot_place(P, child, dtype, precision)
+            # contrib = half @ P^T as a contracting einsum (transpose-free;
+            # the swapaxes route materialized the transpose, measured ~1.7x)
+            contrib = jnp.einsum('bik,bjk->bij', half, P,
+                                 preferred_element_type=dtype,
+                                 precision=precision)
+            F = F.at[dst].add(contrib, indices_are_sorted=True)
 
     if cstr is not None:
         F = cstr(g, F)
@@ -623,7 +805,14 @@ def _estimate_group_cells(g: GroupPlan) -> int:
     RU = g.R - g.C
     cells = g.B * g.R * g.R + g.B * RU * RU
     for pc in g.pairs:
-        cells += 2 * pc.npairs * g.R * pc.RU_c
+        if pc.strategy == "scan":
+            # padded child copy only; windows never materialize buffers
+            cells += (pc.RU_c + 2 * pc.T) ** 2
+        elif pc.strategy == "gather":
+            # half + half^T + contrib
+            cells += pc.npairs * (2 * g.R * pc.RU_c + g.R * g.R)
+        else:
+            cells += 2 * pc.npairs * g.R * pc.RU_c
     return cells
 
 
@@ -701,7 +890,7 @@ def _run_plan_segmented(plan: Plan, S, cdata, dtype, udtype, precision,
             np_idx = {k: {"asrc": plan.groups[k[0]][k[1]].asrc,
                           "adst": plan.groups[k[0]][k[1]].adst,
                           "nc": plan.groups[k[0]][k[1]].nc,
-                          "pairs": plan.groups[k[0]][k[1]]._pair_arrays}
+                          "pairs": _class_arrays(plan.groups[k[0]][k[1]])}
                       for k in seg}
             if args_mode:
                 seg_args = [np_idx[k2] for k2 in seg]

@@ -64,13 +64,82 @@ def test_front_accounting():
     assert seen_home.all()   # every row pivoted exactly once
 
 
-def test_deficient_front_falls_back():
-    """west0067-class fronts need delayed pivots; the driver falls back to
-    exact partial pivoting and still delivers a clean solve."""
+def _spy_fallbacks():
+    import suitesparse_tpu.numeric.lu as lumod
+    calls = {"n": 0}
+    orig = lumod.lusol
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    return lumod, orig, spy, calls
+
+
+def test_deficient_front_repaired_on_device():
+    """west0067-class fronts need delayed pivots; the device escalation
+    ladder (matched LU + GESP passes -> IR -> multifrontal-QR repair pass)
+    must deliver a clean solve with ZERO host-KLU fallback (VERDICT r2
+    item 3 — inverts the round-2 test_deficient_front_falls_back)."""
     A = fixtures.load_demo("west0067")
     b = A.matvec(np.ones(A.ncol))
-    x = mflusol_unsym(A, b)
+    lumod, orig, spy, calls = _spy_fallbacks()
+    lumod.lusol = spy
+    try:
+        x = mflusol_unsym(A, b)
+    finally:
+        lumod.lusol = orig
     assert sst.residual_norm(A, x, b) < 1e-10
+    assert calls["n"] == 0, "fell back to host KLU"
+
+
+def test_singular_home_block_repaired_on_device():
+    """Manufactured TRUE front deficiency: the home pivot block of a
+    mid-tree front is made EXACTLY singular (rows forced linearly dependent
+    on the front's pivot columns) while the global matrix stays
+    well-conditioned. No GESP perturbation can fix this class (the
+    perturbed pivot's 1/tau inverse pins the IR contraction at O(1)) — the
+    QR repair pass must recover full fp64 parity on device."""
+    from suitesparse_tpu.sparse import from_dense
+
+    lumod, orig, spy, calls = _spy_fallbacks()
+    lumod.lusol = spy
+    ntot = 0
+    try:
+        for seed in range(6):
+            rng = np.random.default_rng(seed)
+            n = 60
+            M = np.where(rng.random((n, n)) < 0.08,
+                         rng.standard_normal((n, n)), 0.0) \
+                + np.diag(rng.random(n) + 1)
+            A = from_dense(M)
+            SL = analyze_mflu_unsym(A)
+            S = SL.SQ.S
+            target = None
+            for s in range(S.nsuper):
+                if S.ncols(s) >= 3 and S.sparent[s] != -1:
+                    target = s
+            if target is None:
+                continue
+            s = target
+            hr = SL.front_rows[s][:S.ncols(s)]
+            orig_rows = [SL.rowpre[int(r)] for r in hr]
+            cols = [int(SL.SQ.q[S.super_first[s] + k])
+                    for k in range(S.ncols(s))]
+            M2 = M.copy()
+            M2[orig_rows[1], cols] = 2.0 * M2[orig_rows[0], cols]
+            M2[orig_rows[2], cols] = -3.0 * M2[orig_rows[0], cols]
+            if np.linalg.cond(M2) > 1e10:
+                continue
+            ntot += 1
+            A2 = from_dense(M2)
+            b = M2 @ np.ones(n)
+            x = mflusol_unsym(A2, b)
+            assert sst.residual_norm(A2, x, b) < 1e-12, seed
+    finally:
+        lumod.lusol = orig
+    assert ntot >= 3
+    assert calls["n"] == 0, "fell back to host KLU"
 
 
 def test_weighted_matching_maximizes_pivot_product():
