@@ -29,6 +29,42 @@ struct Graph {
   i64 total_vwgt = 0;
 };
 
+// Pooled workspace for the hot per-call arrays (refine/contract/
+// initial_bisect ran ~7k times per ND at n=125k; fresh O(n) vectors per
+// call were 40% of ND time — the reference's single-workspace discipline,
+// amd_1.c style, applied here).  Stamp counters replace per-call clears.
+// NOT thread-safe (matches the library's single-threaded host contract).
+struct Workspace {
+  std::vector<i64> gain, gstamp, mstamp, instamp;
+  std::vector<std::pair<i64, i64>> heap;
+  std::vector<i64> moves, cand, next_cand, def0, def1;
+  i64 tick = 0;
+  // contract pools
+  std::vector<i64> cnt, vlist, fill, cmark, cslot;
+  i64 ctick = 0;
+  // bfs pools
+  std::vector<i64> dist, queue;
+  i64 btick = 0;
+  void ensure(i64 n) {
+    if ((i64)gain.size() < n) {
+      gain.resize(n);
+      gstamp.resize(n, 0);
+      mstamp.resize(n, 0);
+      instamp.resize(n, 0);
+      dist.resize(n, 0);
+      queue.resize(n);
+    }
+  }
+  void ensure_c(i64 n, i64 cn) {
+    if ((i64)vlist.size() < n) vlist.resize(n);
+    if ((i64)cmark.size() < cn) {
+      cmark.resize(cn, -1);
+      cslot.resize(cn);
+    }
+  }
+};
+Workspace g_ws;
+
 // Build the coarse graph from a matching: map[v] = coarse id.
 // Flat two-pass construction with marker-based duplicate merging — no
 // per-vertex vectors, no sorts (this ran at every coarsening level of every
@@ -39,38 +75,42 @@ Graph contract(const Graph& g, const std::vector<i64>& cmap, i64 cn) {
   cg.vwgt.assign(cn, 0);
   for (i64 v = 0; v < g.n; v++) cg.vwgt[cmap[v]] += g.vwgt[v];
   cg.total_vwgt = g.total_vwgt;
-  // bucket fine vertices by coarse id (counting sort)
-  std::vector<i64> cnt(cn + 1, 0), vlist(g.n);
+  // bucket fine vertices by coarse id (counting sort); pooled workspace,
+  // stamp-based duplicate marking (no per-call O(cn) clears)
+  Workspace& ws = g_ws;
+  ws.ensure_c(g.n, cn);
+  ws.cnt.assign(cn + 1, 0);
+  i64* cnt = ws.cnt.data();
+  i64* vlist = ws.vlist.data();
   for (i64 v = 0; v < g.n; v++) cnt[cmap[v] + 1]++;
   for (i64 c = 0; c < cn; c++) cnt[c + 1] += cnt[c];
-  {
-    std::vector<i64> fill(cnt.begin(), cnt.end() - 1);
-    for (i64 v = 0; v < g.n; v++) vlist[fill[cmap[v]]++] = v;
-  }
+  ws.fill.assign(ws.cnt.begin(), ws.cnt.end() - 1);
+  for (i64 v = 0; v < g.n; v++) vlist[ws.fill[cmap[v]]++] = v;
   cg.xadj.assign(cn + 1, 0);
   cg.adj.reserve(g.adj.size());
   cg.ewgt.reserve(g.adj.size());
-  std::vector<i64> marker(cn, -1), slot(cn, 0);
+  i64* cmark = ws.cmark.data();
+  i64* cslot = ws.cslot.data();
+  i64 base = ws.ctick;
+  ws.ctick += cn;
   for (i64 c = 0; c < cn; c++) {
-    i64 begin = (i64)cg.adj.size();
     for (i64 t = cnt[c]; t < cnt[c + 1]; t++) {
       i64 v = vlist[t];
       for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
         i64 cu = cmap[g.adj[p]];
         if (cu == c) continue;
         i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
-        if (marker[cu] != c) {
-          marker[cu] = c;
-          slot[cu] = (i64)cg.adj.size();
+        if (cmark[cu] != base + c) {
+          cmark[cu] = base + c;
+          cslot[cu] = (i64)cg.adj.size();
           cg.adj.push_back(cu);
           cg.ewgt.push_back(w);
         } else {
-          cg.ewgt[slot[cu]] += w;
+          cg.ewgt[cslot[cu]] += w;
         }
       }
     }
     cg.xadj[c + 1] = (i64)cg.adj.size();
-    (void)begin;
   }
   return cg;
 }
@@ -103,41 +143,42 @@ void initial_bisect(const Graph& g, std::vector<char>& side,
                     std::mt19937_64& rng, double target = 0.5) {
   side.assign(g.n, 1);
   if (g.n == 0) return;
-  // pseudo-peripheral: BFS twice
+  // pseudo-peripheral: BFS twice (pooled queue, stamp-based visited)
+  Workspace& ws = g_ws;
+  ws.ensure(g.n);
+  i64* dist = ws.dist.data();
+  i64* queue = ws.queue.data();
   i64 start = (i64)(rng() % g.n);
-  std::vector<i64> dist(g.n), queue(g.n);
-  for (int rep = 0; rep < 2; rep++) {
-    std::fill(dist.begin(), dist.end(), (i64)-1);
+  for (int rep = 0; rep < 3; rep++) {
+    i64 tick = ++ws.btick;
     i64 qh = 0, qt = 0;
     queue[qt++] = start;
-    dist[start] = 0;
+    dist[start] = tick;
+    if (rep == 2) {
+      // grow region 0 from `start` until half the total vertex weight
+      i64 grown = 0, goal = (i64)(target * g.total_vwgt);
+      while (qh < qt && grown < goal) {
+        i64 v = queue[qh++];
+        side[v] = 0;
+        grown += g.vwgt[v];
+        for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
+          i64 u = g.adj[p];
+          if (dist[u] != tick) { dist[u] = tick; queue[qt++] = u; }
+        }
+      }
+      break;  // disconnected leftovers stay on side 1
+    }
     i64 last = start;
     while (qh < qt) {
       i64 v = queue[qh++];
       last = v;
       for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
         i64 u = g.adj[p];
-        if (dist[u] == -1) { dist[u] = dist[v] + 1; queue[qt++] = u; }
+        if (dist[u] != tick) { dist[u] = tick; queue[qt++] = u; }
       }
     }
     start = last;
   }
-  // grow region 0 from `start` until half the total vertex weight
-  std::fill(dist.begin(), dist.end(), (i64)-1);
-  i64 qh = 0, qt = 0;
-  queue[qt++] = start;
-  dist[start] = 0;
-  i64 grown = 0, goal = (i64)(target * g.total_vwgt);
-  while (qh < qt && grown < goal) {
-    i64 v = queue[qh++];
-    side[v] = 0;
-    grown += g.vwgt[v];
-    for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
-      i64 u = g.adj[p];
-      if (dist[u] == -1) { dist[u] = dist[v] + 1; queue[qt++] = u; }
-    }
-  }
-  // disconnected leftovers: they stay on side 1
 }
 
 i64 cut_weight(const Graph& g, const std::vector<char>& side) {
@@ -157,20 +198,24 @@ i64 cut_weight(const Graph& g, const std::vector<char>& side) {
 // start on the cut, so scanning the whole fine graph per pass (the profiled
 // 68% of ND time) is wasted; interior vertices get exact gains lazily when
 // a neighbor's move first touches them.
-void refine(const Graph& g, std::vector<char>& side,
-            double flo = 0.45, double fhi = 0.55,
-            const std::vector<i64>* cand0 = nullptr) {
-  if (g.n == 0) return;
-  i64 w0 = 0;
-  for (i64 v = 0; v < g.n; v++) if (side[v] == 0) w0 += g.vwgt[v];
+i64 refine(const Graph& g, std::vector<char>& side,
+           double flo = 0.45, double fhi = 0.55,
+           const std::vector<i64>* cand0 = nullptr, i64 w0_in = -1) {
+  if (g.n == 0) return 0;
+  i64 w0 = w0_in;
+  if (w0 < 0) {
+    w0 = 0;
+    for (i64 v = 0; v < g.n; v++) if (side[v] == 0) w0 += g.vwgt[v];
+  }
   i64 W = g.total_vwgt;
   i64 lo = (i64)(flo * W), hi = (i64)(fhi * W) + 1;
-  std::vector<i64> gain(g.n);
-  std::vector<char> moved(g.n);
-  std::vector<i64> gstamp(g.n, 0);  // gain[v] valid iff gstamp[v] == pass+1
-  std::vector<i64> moves;
-  moves.reserve(g.n);
-  std::vector<std::pair<i64, i64>> heap;  // (gain, v), lazy
+  Workspace& ws = g_ws;
+  ws.ensure(g.n);
+  i64* gain = ws.gain.data();
+  i64* gstamp = ws.gstamp.data();   // gain[v] valid iff gstamp[v] == tick
+  i64* mstamp = ws.mstamp.data();   // moved iff mstamp[v] == mtick
+  std::vector<i64>& moves = ws.moves;
+  std::vector<std::pair<i64, i64>>& heap = ws.heap;  // (gain, v), lazy
   auto push = [&](i64 v) { heap.push_back({gain[v], v});
     std::push_heap(heap.begin(), heap.end()); };
   auto compute_gain = [&](i64 v) {
@@ -184,42 +229,46 @@ void refine(const Graph& g, std::vector<char>& side,
   };
   // most of the cut reduction lands in the first passes; large graphs cap
   // the pass count (the per-pass gain scan is O(candidates))
-  int max_pass = g.n > 20000 ? 3 : (g.n > 2000 ? 4 : 6);
-  std::vector<i64> cand;  // candidates for the CURRENT pass
-  if (cand0) cand = *cand0;
+  int max_pass = g.n > 20000 ? 2 : (g.n > 2000 ? 4 : 6);
+  std::vector<i64>& cand = ws.cand;  // candidates for the CURRENT pass
+  if (cand0) cand.assign(cand0->begin(), cand0->end());
   else { cand.resize(g.n); for (i64 v = 0; v < g.n; v++) cand[v] = v; }
-  std::vector<i64> next_cand;
-  std::vector<char> in_next(cand0 ? g.n : 0, 0);
+  std::vector<i64>& next_cand = ws.next_cand;
+  i64* instamp = ws.instamp.data();
+  std::vector<i64> touched;  // gstamp'd this pass (avoids the O(n) rescan)
   for (int pass = 0; pass < max_pass; pass++) {
-    i64 tick = pass + 1;
+    i64 tick = ++ws.tick;
     heap.clear();
+    touched.clear();
     for (i64 v : cand) {
       if (gstamp[v] == tick) continue;  // duplicate in candidate list
       gstamp[v] = tick;
+      touched.push_back(v);
       if (compute_gain(v) > 0) push(v);
     }
-    std::fill(moved.begin(), moved.end(), 0);
+    i64 mtick = ++ws.tick;
     moves.clear();
     // balance-infeasible pops wait per side; a move shifting weight toward
     // a side re-opens that side's deferred vertices (they re-enter the heap
     // and the stale-gain check re-validates them)
-    std::vector<i64> deferred[2];
+    ws.def0.clear(); ws.def1.clear();
+    std::vector<i64>* deferred[2] = {&ws.def0, &ws.def1};
     i64 delta = 0, best_delta = 0, best_len = 0, w0_run = w0, best_w0 = w0;
     // FM early termination (METIS-style): unbounded hill climbing lets one
     // pass cascade across the whole graph; cap the non-improving streak
     i64 since_best = 0;
-    const i64 streak_limit = std::max<i64>(100, g.n / 64);
+    const i64 streak_limit = std::max<i64>(64, g.n / 256);
     while (!heap.empty()) {
       std::pop_heap(heap.begin(), heap.end());
       auto [gv, v] = heap.back();
       heap.pop_back();
-      if (moved[v] || gv != gain[v]) continue;  // stale
+      if (mstamp[v] == mtick || gv != gain[v]) continue;  // stale
       i64 nw0 = side[v] == 0 ? w0_run - g.vwgt[v] : w0_run + g.vwgt[v];
       if (nw0 < lo || nw0 > hi) {              // infeasible now; retry when
-        deferred[side[v]].push_back(v);        // balance shifts this way
+        deferred[side[v]]->push_back(v);       // balance shifts this way
         continue;
       }
-      moved[v] = 1;
+      mstamp[v] = mtick;
       side[v] ^= 1;
       w0_run = nw0;
       delta += gv;
@@ -227,9 +276,9 @@ void refine(const Graph& g, std::vector<char>& side,
       // side[v] is post-flip: weight moved TO side[v], so vertices deferred
       // on side[v] (whose departure was blocked by that side being too
       // light) may be feasible now
-      if (!deferred[side[v]].empty()) {
-        for (i64 u : deferred[side[v]]) if (!moved[u]) push(u);
-        deferred[side[v]].clear();
+      if (!deferred[side[v]]->empty()) {
+        for (i64 u : *deferred[side[v]]) if (mstamp[u] != mtick) push(u);
+        deferred[side[v]]->clear();
       }
       if (delta > best_delta) {
         best_delta = delta;
@@ -241,11 +290,12 @@ void refine(const Graph& g, std::vector<char>& side,
       }
       for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
         i64 u = g.adj[p];
-        if (moved[u]) continue;
+        if (mstamp[u] == mtick) continue;
         if (gstamp[u] != tick) {
           // lazily touched interior vertex: compute its exact gain now
           // (side[v] already flipped, so compute_gain sees current state)
           gstamp[u] = tick;
+          touched.push_back(u);
           compute_gain(u);
         } else {
           i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
@@ -261,17 +311,16 @@ void refine(const Graph& g, std::vector<char>& side,
     w0 = best_w0;
     if (best_delta <= 0) break;
     if (cand0) {
-      // next pass: old candidates + everything this pass touched
+      // next pass: everything this pass computed a gain for (old
+      // candidates deduped into `touched` during the scan)
+      i64 ntick = ++ws.tick;
       next_cand.clear();
-      for (i64 v : cand) if (!in_next[v]) { in_next[v] = 1;
+      for (i64 v : touched) if (instamp[v] != ntick) { instamp[v] = ntick;
         next_cand.push_back(v); }
-      for (i64 v = 0; v < g.n; v++)
-        if (gstamp[v] == tick && !in_next[v]) { in_next[v] = 1;
-          next_cand.push_back(v); }
-      for (i64 v : next_cand) in_next[v] = 0;
       cand.swap(next_cand);
     }
   }
+  return w0;
 }
 
 // Vertex separator from the edge cut: MINIMUM vertex cover of the cut's
@@ -444,7 +493,7 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
   std::vector<Graph> levels;
   std::vector<std::vector<i64>> cmaps;
   levels.push_back(std::move(g));
-  while (levels.back().n > 100) {
+  while (levels.back().n > 200) {
     std::vector<i64> cmap;
     i64 cn = match(levels.back(), cmap, ctx.rng);
     if (cn > levels.back().n * 9 / 10) break;  // stalled
@@ -455,14 +504,15 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
   // coarsest-level bisection with random restarts (METIS-style: keep the
   // refined candidate with the smallest cut)
   std::vector<char> side, cand;
-  i64 best_cut = -1;
-  for (int r = 0; r < 5; r++) {
+  i64 best_cut = -1, w0 = -1;
+  for (int r = 0; r < 3; r++) {
     initial_bisect(levels.back(), cand, ctx.rng);
-    refine(levels.back(), cand);
+    i64 w0r = refine(levels.back(), cand);
     i64 cut = cut_weight(levels.back(), cand);
     if (best_cut < 0 || cut < best_cut) {
       best_cut = cut;
       side = cand;
+      w0 = w0r;
     }
     if (levels.back().n <= 2) break;
   }
@@ -481,7 +531,8 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
       if (cbnd[cmaps[l][v]]) cand.push_back(v);
     }
     side.swap(fine);
-    refine(levels[l], side, 0.45, 0.55, &cand);
+    // projection preserves side-0 weight (coarse vwgt = sum of fine vwgt)
+    w0 = refine(levels[l], side, 0.45, 0.55, &cand, w0);
   }
   Graph& fg = levels[0];
   std::vector<char> insep;
@@ -704,7 +755,7 @@ SSTPU_API i64 sstpu_edgecut(i64 n, const i64* Ap, const i64* Ai, i64* part,
   std::vector<Graph> levels;
   std::vector<std::vector<i64>> cmaps;
   levels.push_back(std::move(g));
-  while (levels.back().n > 100) {
+  while (levels.back().n > 200) {
     std::vector<i64> cmap;
     i64 cn = match(levels.back(), cmap, rng);
     if (cn > levels.back().n * 9 / 10) break;

@@ -276,6 +276,11 @@ def qrsol(A: CSC, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
     Least-squares problems with enough flops route to the device multifrontal
     QR (SuiteSparseQR's default path); small ones use the host simplicial
     Householder QR."""
+    if A.sym != 0:
+        # QR is a general-matrix factorization: expand symmetric storage
+        # first (SuiteSparseQR converts stype!=0 via cholmod_copy the same
+        # way; without this the column-permute step asserts)
+        A = A.to_full_storage()
     m, n = A.shape
     if m >= n:
         if m * n >= 1 << 16:
