@@ -153,9 +153,11 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC,
                split_mask: np.ndarray | None = None) -> Plan:
     """Precompute every index array for the device factorization.
 
-    ``split_mask`` (optional bool per snode) forces snodes with different
-    mask values into different groups — the distributed planner uses it to
-    keep TOP (separator-crown) supernodes out of the subtree-owned groups."""
+    ``split_mask`` (optional bool or int per snode) forces snodes with
+    different mask values into different groups — the distributed planner
+    uses it to keep TOP (separator-crown) supernodes out of the
+    subtree-owned groups, and the 2-level topology planner to additionally
+    separate host-local MID supernodes (parallel/schedule.py)."""
     children: list = [[] for _ in range(S.nsuper)]
     for s in range(S.nsuper):
         if S.sparent[s] != -1:
@@ -171,7 +173,7 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC,
             nr, nc = S.nrows(s), S.ncols(s)
             key = (_pad_to(nr - nc, _R_LADDER) + _pad_to(nc, _C_LADDER),
                    _pad_to(nc, _C_LADDER),
-                   bool(split_mask[s]) if split_mask is not None else False)
+                   int(split_mask[s]) if split_mask is not None else 0)
             buckets.setdefault(key, []).append(int(s))
         glist = sorted(buckets.items())
         placed = []

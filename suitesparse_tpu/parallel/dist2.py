@@ -36,7 +36,7 @@ from ..sparse import CSC
 from ..symbolic.supernodes import SupernodalSymbolic
 from ..numeric.supernodal import SupernodalFactor
 from ..numeric import supernodal_device as sd
-from .schedule import partition_tree
+from .schedule import partition_tree, partition_tree_topology
 
 __all__ = ["dist_factorize_v2", "dist_solve_v2", "build_dist_plan"]
 
@@ -62,11 +62,28 @@ class _Shim:
         self.panel_base = 0
 
 
-def build_dist_plan(S: SupernodalSymbolic, C_low: CSC, ndev: int):
+def build_dist_plan(S: SupernodalSymbolic, C_low: CSC, ndev: int,
+                    topo: tuple | None = None):
     """Returns (plan, part, dist) where dist holds the per-device leaf
-    schedule, cut routing, and canonical remap arrays."""
-    part = partition_tree(S, ndev)
-    plan = sd.build_plan(S, C_low, split_mask=part.top)
+    schedule, cut routing, and canonical remap arrays.
+
+    With ``topo=(nhost, nchip)`` the partition is the 2-level DCN/ICI cut
+    (schedule.partition_tree_topology) and ``dist["v3"]`` additionally holds
+    the host-local MID phase structures: per-HOST mid group schedules (the
+    leaf machinery one level up), leaf->mid halo routing (summed over the
+    intra-host 'chip' axis only — never DCN), and mid->top routing into the
+    one global psum.  The dist2-compatible structures (top = MID + global
+    TOP, replicated) are still built — the distributed solve consumes them
+    unchanged."""
+    if topo is not None:
+        nhost, nchip = topo
+        assert nhost * nchip == ndev
+        part = partition_tree_topology(S, nhost, nchip)
+        split = part.split_key
+    else:
+        part = partition_tree(S, ndev)
+        split = part.top
+    plan = sd.build_plan(S, C_low, split_mask=split)
 
     # classify groups; global order
     leaf_groups, top_groups = [], []
@@ -274,14 +291,422 @@ def build_dist_plan(S: SupernodalSymbolic, C_low: CSC, ndev: int):
                         else np.empty(0, np.int64))
     dist["xmap_pos"] = (np.concatenate(xmap_pos) if xmap_pos
                         else np.empty(0, np.int64))
+    if topo is not None:
+        dist["v3"] = _build_v3(S, plan, part, dist, leaf_meta, leaf_index,
+                               topo)
     return plan, part, dist
 
 
+def _build_v3(S, plan, part, dist, leaf_meta, leaf_index, topo):
+    """Host-local MID phase structures for the (host, chip) topology."""
+    nhost, nchip = topo
+    ndev = nhost * nchip
+    key_of = part.split_key
+
+    mid_groups, gtop_groups = [], []
+    for k in dist["top_groups"]:
+        g = plan.groups[k[0]][k[1]]
+        (mid_groups if key_of[g.snodes[0]] == 1 else gtop_groups).append(k)
+    mid_index = {k: i for i, k in enumerate(mid_groups)}
+    gtop_index = {k: i for i, k in enumerate(gtop_groups)}
+
+    # MID front/panel buffer layouts (per-host, slots padded to Bh)
+    mid_meta = []           # (hof, lslot, Bh)
+    f1_base, pan_base = [], []
+    f1_cells = pan_cells = 0
+    for k in mid_groups:
+        g = plan.groups[k[0]][k[1]]
+        hof = part.mid_host[g.snodes]
+        assert np.all(hof >= 0)
+        counts = np.bincount(hof, minlength=nhost)
+        Bh = max(int(counts.max()), 1)
+        lslot = np.empty(g.B, dtype=np.int64)
+        cur = np.zeros(nhost, dtype=np.int64)
+        for b in np.argsort(hof, kind="stable"):
+            lslot[b] = cur[hof[b]]
+            cur[hof[b]] += 1
+        mid_meta.append((hof, lslot, Bh))
+        f1_base.append(f1_cells)
+        f1_cells += Bh * g.R * g.R
+        pan_base.append(pan_cells)
+        pan_cells += Bh * g.R * g.C
+
+    # GTOP front buffer layout (global; psummed over the whole fleet = DCN)
+    f0_base = []
+    f0_cells = 0
+    for k in gtop_groups:
+        g = plan.groups[k[0]][k[1]]
+        f0_base.append(f0_cells)
+        f0_cells += g.B * g.R * g.R
+
+    # ---- per-host MID group schedules (leaf machinery, one level up) ----
+    mid_dist = []
+    leafmid_cut = []    # leaf child -> mid parent (devices place; chip psum)
+    for mi, k in enumerate(mid_groups):
+        g = plan.groups[k[0]][k[1]]
+        hof, lslot, Bh = mid_meta[mi]
+        R, C = g.R, g.C
+        slot_of_entry = g.adst // (R * R)
+        coord = g.adst % (R * R)
+        ehost = hof[slot_of_entry]
+        eadst = lslot[slot_of_entry] * R * R + coord
+        ecnt = np.bincount(ehost, minlength=nhost)
+        emax = int(ecnt.max()) if g.adst.size else 0
+        asrc_h = np.zeros((nhost, emax), dtype=np.int32)
+        adst_h = (Bh * R * R
+                  + np.tile(np.arange(emax, dtype=np.int64), (nhost, 1)))
+        for h in range(nhost):
+            sel = ehost == h
+            m = int(sel.sum())
+            asrc_h[h, :m] = g.asrc[sel]
+            adst_h[h, :m] = eadst[sel]
+        nc_h = np.zeros((nhost, Bh), dtype=np.int32)
+        for b in range(g.B):
+            nc_h[hof[b], lslot[b]] = g.nc[b]
+        pair_sets = []      # mid child -> this mid parent (host-local)
+        for pc, (src, dst, idx) in zip(g.pairs, g._pair_arrays):
+            ck = (pc.src_level, pc.src_gi)
+            if ck not in mid_index:
+                # leaf child: routed through the F1 halo (chip psum)
+                cli = leaf_index[ck]
+                cdevs, clslot, cBd = leaf_meta[cli]
+                pdev = cdevs[src]               # device owning the child
+                assert np.array_equal(pdev // nchip, hof[dst]), \
+                    "leaf->mid pair crosses hosts"
+                pcnt = np.bincount(pdev, minlength=ndev)
+                pmax = max(int(pcnt.max()), 1)
+                src_d = np.full((ndev, pmax), cBd, dtype=np.int32)
+                dst_d = np.full((ndev, pmax), Bh, dtype=np.int32)
+                idx_d = np.full((ndev, pmax, pc.RU_c), -1, dtype=np.int32)
+                for d0 in range(ndev):
+                    sel = pdev == d0
+                    m = int(sel.sum())
+                    src_d[d0, :m] = clslot[src[sel]]
+                    dst_d[d0, :m] = lslot[dst[sel]]
+                    idx_d[d0, :m] = idx[sel]
+                leafmid_cut.append((cli, mi, pc.RU_c, pmax, R,
+                                    src_d, dst_d, idx_d))
+                continue
+            cmi = mid_index[ck]
+            chof, clslot, cBh = mid_meta[cmi]
+            phost = hof[dst]
+            assert np.array_equal(phost, chof[src]), "mid pair crosses hosts"
+            pcnt = np.bincount(phost, minlength=nhost)
+            pmax = max(int(pcnt.max()), 1)
+            src_h = np.full((nhost, pmax), cBh, dtype=np.int32)
+            dst_h = np.full((nhost, pmax), Bh, dtype=np.int32)
+            idx_h = np.full((nhost, pmax, pc.RU_c), -1, dtype=np.int32)
+            for h in range(nhost):
+                sel = phost == h
+                m = int(sel.sum())
+                src_h[h, :m] = clslot[src[sel]]
+                dst_h[h, :m] = lslot[dst[sel]]
+                idx_h[h, :m] = idx[sel]
+            pair_sets.append((cmi, pc.RU_c, pmax, src_h, dst_h, idx_h))
+        mid_dist.append({
+            "k": k, "R": R, "C": C, "Bh": Bh, "emax": emax,
+            "asrc": asrc_h, "adst": adst_h, "nc": nc_h, "pairs": pair_sets,
+        })
+
+    # ---- GTOP routing ----
+    gtop_cut = []       # leaf child -> gtop parent: devices place into F0
+    midtop_cut = []     # mid child -> gtop parent: chip-0 places into F0
+    gtop_plan = []      # per gtop group: only gtop-child pairs stay direct
+    for gt, k in enumerate(gtop_groups):
+        g = plan.groups[k[0]][k[1]]
+        R = g.R
+        keep_pairs, keep_arrays = [], []
+        for pc, (src, dst, idx) in zip(g.pairs, g._pair_arrays):
+            ck = (pc.src_level, pc.src_gi)
+            if ck in gtop_index:
+                keep_pairs.append(pc)
+                keep_arrays.append((src, dst, idx))
+            elif ck in mid_index:
+                cmi = mid_index[ck]
+                chof, clslot, cBh = mid_meta[cmi]
+                phost = chof[src]               # host owning the child
+                pcnt = np.bincount(phost, minlength=nhost)
+                pmax = max(int(pcnt.max()), 1)
+                src_h = np.full((nhost, pmax), cBh, dtype=np.int32)
+                dst_h = np.full((nhost, pmax), g.B, dtype=np.int32)
+                idx_h = np.full((nhost, pmax, pc.RU_c), -1, dtype=np.int32)
+                for h in range(nhost):
+                    sel = phost == h
+                    m = int(sel.sum())
+                    src_h[h, :m] = clslot[src[sel]]
+                    dst_h[h, :m] = dst[sel]
+                    idx_h[h, :m] = idx[sel]
+                midtop_cut.append((cmi, pc.RU_c, pmax, R, gt,
+                                   src_h, dst_h, idx_h))
+            else:
+                cli = leaf_index[ck]
+                cdevs, clslot, cBd = leaf_meta[cli]
+                pdev = cdevs[src]
+                pcnt = np.bincount(pdev, minlength=ndev)
+                pmax = max(int(pcnt.max()), 1)
+                src_d = np.full((ndev, pmax), cBd, dtype=np.int32)
+                dst_d = np.full((ndev, pmax), g.B, dtype=np.int32)
+                idx_d = np.full((ndev, pmax, pc.RU_c), -1, dtype=np.int32)
+                for d0 in range(ndev):
+                    sel = pdev == d0
+                    m = int(sel.sum())
+                    src_d[d0, :m] = clslot[src[sel]]
+                    dst_d[d0, :m] = dst[sel]
+                    idx_d[d0, :m] = idx[sel]
+                gtop_cut.append((cli, pc.RU_c, pmax, R, gt,
+                                 src_d, dst_d, idx_d))
+        gtop_plan.append((k, keep_pairs, keep_arrays))
+
+    # ---- mid canonical remap: (host, per-host panel pos) -> canonical ----
+    midcan_dst, midcan_host, midcan_pos = [], [], []
+    for mi, k in enumerate(mid_groups):
+        g = plan.groups[k[0]][k[1]]
+        hof, lslot, Bh = mid_meta[mi]
+        cells = g.R * g.C
+        cell = np.arange(cells, dtype=np.int64)
+        for b in range(g.B):
+            midcan_dst.append(g.panel_base + b * cells + cell)
+            midcan_host.append(np.full(cells, hof[b], dtype=np.int64))
+            midcan_pos.append(pan_base[mi] + lslot[b] * cells + cell)
+    e = np.empty(0, np.int64)
+    return {
+        "nhost": nhost, "nchip": nchip,
+        "mid_groups": mid_groups, "gtop_groups": gtop_groups,
+        "mid_dist": mid_dist, "mid_meta": mid_meta,
+        "f1_base": f1_base, "f1_cells": f1_cells,
+        "pan_base": pan_base, "pan_cells": pan_cells,
+        "f0_base": f0_base, "f0_cells": f0_cells,
+        "leafmid_cut": leafmid_cut, "gtop_cut": gtop_cut,
+        "midtop_cut": midtop_cut, "gtop_plan": gtop_plan,
+        "midcan_dst": (np.concatenate(midcan_dst) if midcan_dst else e),
+        "midcan_host": (np.concatenate(midcan_host) if midcan_host else e),
+        "midcan_pos": (np.concatenate(midcan_pos) if midcan_pos else e),
+    }
+
+
+def _make_v3_fn(plan, dist, mesh, axes, dtype, prec, shard_leading):
+    """Jitted 2-level (host, chip) factorization program.
+
+    Three phases inside ONE shard_map over the full mesh:
+      leaf  — per-chip subtree groups (device-local extend-adds, zero comm);
+      mid   — per-HOST subtree-crown groups: leaf->mid halos are placed
+              device-locally and summed with ``psum`` over the intra-host
+              'chip' axis only (ICI); each chip of a host then factors its
+              host's mid fronts redundantly (chip-replicated compute — the
+              mid slots are host-sharded, so hosts do disjoint work);
+      gtop  — contributions into the global separator crown (leaf's from
+              every device; mid's from chip 0 of each host) combine in ONE
+              global psum — the only DCN-crossing collective.
+    The separator crown itself then factors outside the shard_map with
+    front rows panel-sharded over the fleet (as the flat v2 top phase)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    v3 = dist["v3"]
+    dist_groups = dist["dist_groups"]
+    mid_dist = v3["mid_dist"]
+    mid_groups, gtop_groups = v3["mid_groups"], v3["gtop_groups"]
+    leafmid_cut, gtop_cut = v3["leafmid_cut"], v3["gtop_cut"]
+    midtop_cut, gtop_plan = v3["midtop_cut"], v3["gtop_plan"]
+    hax = (axes[0],)
+    cax = axes[1]
+
+    def shard_host(x):
+        return jax.device_put(x, NamedSharding(mesh, P(hax)))
+
+    lm_args = [(shard_leading(s), shard_leading(d0), shard_leading(ix))
+               for (_, _, _, _, _, s, d0, ix) in leafmid_cut]
+    gt_args = [(shard_leading(s), shard_leading(d0), shard_leading(ix))
+               for (_, _, _, _, _, s, d0, ix) in gtop_cut]
+    mid_args = []
+    for md in mid_dist:
+        pa = [(shard_host(s), shard_host(d0), shard_host(ix))
+              for (_, _, _, s, d0, ix) in md["pairs"]]
+        mid_args.append((shard_host(md["asrc"]), shard_host(md["adst"]),
+                         shard_host(md["nc"]), pa))
+    mt_args = [(shard_host(s), shard_host(d0), shard_host(ix))
+               for (_, _, _, _, _, s, d0, ix) in midtop_cut]
+
+    def _contrib(Usrc, srcs, idxs, R, RU_c):
+        child = Usrc[srcs]
+        iota = jax.lax.broadcasted_iota(jnp.int32, (1, R, RU_c), 1)
+        Pm = (iota == idxs[:, None, :]).astype(dtype)
+        half = jnp.matmul(Pm, child, preferred_element_type=dtype,
+                          precision=prec)
+        return jnp.einsum('bik,bjk->bij', half, Pm,
+                          preferred_element_type=dtype, precision=prec)
+
+    def body(cdata, largs, lmargs, gtargs, midargs, mtargs):
+        updates = {}
+        panels = []
+        token = None
+        # ---- leaf phase (per-chip subtrees; zero communication) ----
+        for li, dg in enumerate(dist_groups):
+            asrc, adst, ncarr = (largs[li][0][0], largs[li][1][0],
+                                 largs[li][2][0])
+            R, C, Bd = dg["R"], dg["C"], dg["Bd"]
+            shim = _Shim(R, C, Bd,
+                         [sd.PairClass(src_level=0, src_gi=cli,
+                                       RU_c=ru, npairs=pm)
+                          for (cli, ru, pm, _, _, _) in dg["pairs"]],
+                         dg["emax"])
+            ix = {"asrc": asrc, "adst": adst, "nc": ncarr,
+                  "pairs": [(p[0][0], p[1][0], p[2][0])
+                            for p in largs[li][3]]}
+            pflat, U = sd._group_compute(shim, ix, cdata, updates,
+                                         dtype, None, None, prec,
+                                         token=token)
+            panels.append(pflat)
+            token = pflat[:1]
+            if U is not None:
+                updates[(0, li)] = U
+        # ---- leaf->mid halo: device-local placement + ICI-only psum ----
+        F1s = []
+        for mi, k in enumerate(mid_groups):
+            g = plan.groups[k[0]][k[1]]
+            Bh = v3["mid_dist"][mi]["Bh"]
+            F1s.append(jnp.zeros((Bh, g.R, g.R), dtype=dtype))
+        for ci, (cli, mi, RU_c, pmax, R, _, _, _) in enumerate(leafmid_cut):
+            srcs, dsts, idxs = (lmargs[ci][0][0], lmargs[ci][1][0],
+                                lmargs[ci][2][0])
+            F1s[mi] = F1s[mi].at[dsts].add(
+                _contrib(updates[(0, cli)], srcs, idxs, R, RU_c))
+        if F1s:
+            F1 = jnp.concatenate([f.reshape(-1) for f in F1s])
+            F1 = jax.lax.psum(F1, cax)        # intra-host (ICI) halo only
+        else:
+            F1 = jnp.zeros(0, dtype=dtype)
+        # ---- mid phase: host-sharded slots, chip-replicated compute ----
+        mid_panels = []
+        for mi, md in enumerate(mid_dist):
+            k = mid_groups[mi]
+            g = plan.groups[k[0]][k[1]]
+            R, C, Bh = md["R"], md["C"], md["Bh"]
+            asrc, adst, ncarr = (midargs[mi][0][0], midargs[mi][1][0],
+                                 midargs[mi][2][0])
+            f1 = jax.lax.dynamic_slice(F1, (v3["f1_base"][mi],),
+                                       (Bh * R * R,))
+            shim = _Shim(R, C, Bh,
+                         [sd.PairClass(src_level=1, src_gi=cmi,
+                                       RU_c=ru, npairs=pm)
+                          for (cmi, ru, pm, _, _, _) in md["pairs"]],
+                         md["emax"])
+            ix = {"asrc": asrc, "adst": adst, "nc": ncarr,
+                  "pairs": [(p[0][0], p[1][0], p[2][0])
+                            for p in midargs[mi][3]]}
+            pflat, U = sd._group_compute(shim, ix, cdata, updates,
+                                         dtype, None, None, prec,
+                                         token=token, f0=f1)
+            mid_panels.append(pflat)
+            token = pflat[:1]
+            if U is not None:
+                updates[(1, mi)] = U
+        # ---- global separator-crown contributions: ONE DCN psum ----
+        F0s = []
+        for k in gtop_groups:
+            g = plan.groups[k[0]][k[1]]
+            F0s.append(jnp.zeros((g.B, g.R, g.R), dtype=dtype))
+        for ci, (cli, RU_c, pmax, R, gt, _, _, _) in enumerate(gtop_cut):
+            srcs, dsts, idxs = (gtargs[ci][0][0], gtargs[ci][1][0],
+                                gtargs[ci][2][0])
+            F0s[gt] = F0s[gt].at[dsts].add(
+                _contrib(updates[(0, cli)], srcs, idxs, R, RU_c))
+        # mid updates are chip-replicated: only chip 0 of each host
+        # contributes to the global sum
+        chip0 = (jax.lax.axis_index(cax) == 0).astype(dtype)
+        for ci, (cmi, RU_c, pmax, R, gt, _, _, _) in enumerate(midtop_cut):
+            srcs, dsts, idxs = (mtargs[ci][0][0], mtargs[ci][1][0],
+                                mtargs[ci][2][0])
+            F0s[gt] = F0s[gt].at[dsts].add(
+                chip0 * _contrib(updates[(1, cmi)], srcs, idxs, R, RU_c))
+        F0 = (jnp.concatenate([f.reshape(-1) for f in F0s])
+              if F0s else jnp.zeros(0, dtype=dtype))
+        F0 = jax.lax.psum(F0, axes)
+        pcat = (jnp.concatenate(panels) if panels
+                else jnp.zeros(0, dtype=dtype))
+        midcat = (jnp.concatenate(mid_panels) if mid_panels
+                  else jnp.zeros(0, dtype=dtype))
+        return pcat[None, :], midcat[None, :], F0[None, :]
+
+    in_specs = (P(),
+                [tuple([P(axes), P(axes), P(axes),
+                        [(P(axes),) * 3 for _ in dg["pairs"]]])
+                 for dg in dist_groups],
+                [(P(axes),) * 3 for _ in lm_args],
+                [(P(axes),) * 3 for _ in gt_args],
+                [tuple([P(hax), P(hax), P(hax),
+                        [(P(hax),) * 3 for _ in ma[3]]])
+                 for ma in mid_args],
+                [(P(hax),) * 3 for _ in mt_args])
+    out_specs = (P(axes), P(hax), P(axes))
+
+    def full_fn(cdata, largs, lmargs, gtargs, midargs, mtargs):
+        leaf_panels, mid_panels, F0r = shard_map(
+            body, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+            check_rep=False)(cdata, largs, lmargs, gtargs, midargs, mtargs)
+        F0 = F0r[0]
+        # ---- global top phase: panel-sharded separator crown ----
+        updates = {}
+        panels_top = {}
+        token = None
+        pconstr = NamedSharding(mesh, P(None, axes, None))
+
+        def cstr(g, F):
+            if g.R >= 256:
+                return jax.lax.with_sharding_constraint(F, pconstr)
+            return F
+
+        for gt, (k, keep_pairs, keep_arrays) in enumerate(gtop_plan):
+            g = plan.groups[k[0]][k[1]]
+            f0 = jax.lax.dynamic_slice(F0, (v3["f0_base"][gt],),
+                                       (g.B * g.R * g.R,))
+            shim = _Shim(g.R, g.C, g.B, keep_pairs, g.asrc.size)
+            shim.panel_base = g.panel_base
+            ix = {"asrc": g.asrc, "adst": g.adst, "nc": g.nc,
+                  "pairs": keep_arrays}
+            pflat, U = sd._group_compute(shim, ix, cdata, updates,
+                                         dtype, cstr, None, prec,
+                                         token=token, f0=f0)
+            panels_top[k] = pflat
+            token = pflat[:1]
+            if U is not None:
+                updates[(k[0], k[1])] = U
+        # ---- canonical remap: leaf + mid + gtop panels ----
+        Lx = jnp.zeros(plan.dev_size, dtype=dtype)
+        if dist["can_dst"].size:
+            flat_pos = (dist["can_src_dev"] * dist["leaf_cells"]
+                        + dist["can_src_pos"])
+            vals = leaf_panels.reshape(-1)[flat_pos]
+            Lx = Lx.at[dist["can_dst"]].set(vals, unique_indices=True)
+        if v3["midcan_dst"].size:
+            mpos = v3["midcan_host"] * v3["pan_cells"] + v3["midcan_pos"]
+            mvals = mid_panels.reshape(-1)[mpos]
+            Lx = Lx.at[v3["midcan_dst"]].set(mvals, unique_indices=True)
+        for (k, _, _) in gtop_plan:
+            g = plan.groups[k[0]][k[1]]
+            Lx = jax.lax.dynamic_update_slice(
+                Lx, panels_top[k], (g.panel_base,))
+        return Lx
+
+    return jax.jit(full_fn), (lm_args, gt_args, mid_args, mt_args)
+
+
 def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
-                      config: Config = DEFAULT) -> SupernodalFactor:
+                      config: Config = DEFAULT,
+                      topology: tuple | None = None) -> SupernodalFactor:
     """Sharded factorization: shard_map leaf phase + panel-sharded top
     phase. The returned factor is in the CANONICAL single-chip device
-    layout (existing solves consume it directly); it stays on device."""
+    layout (existing solves consume it directly); it stays on device.
+
+    On a ('host', 'chip') mesh (or with explicit ``topology=(nhost,
+    nchip)``), the 2-level DCN/ICI schedule engages: a host-local MID phase
+    factors each host's subtree crown with its halo exchange riding the
+    intra-host 'chip' axis only; the single global psum of the separator-
+    crown contributions is the ONLY collective that crosses hosts (DCN).
+    SURVEY §5.8 (i)-(iii), §7 S6 — subtree-per-host over DCN, per-chip
+    subtrees + panel sharding within a host."""
     import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -292,12 +717,16 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
 
     ndev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     axes = tuple(mesh.axis_names)
+    if topology is None and axes == ("host", "chip"):
+        topology = (mesh.shape["host"], mesh.shape["chip"])
+    if topology is not None and topology[0] <= 1:
+        topology = None          # single host: the flat schedule IS the plan
 
     cache = getattr(S, "_dist2_cache", None)
-    key = (id(mesh), ndev, config.precision)
+    key = (id(mesh), ndev, config.precision, topology)
     if cache is None or cache[0] != key:
         C_low = A.symperm(S.perm).transpose()
-        plan, part, dist = build_dist_plan(S, C_low, ndev)
+        plan, part, dist = build_dist_plan(S, C_low, ndev, topo=topology)
         # the returned factor uses THIS plan's device layout: make it the
         # symbolic handle's canonical plan so the existing solves and px
         # materialization consume the distributed factor unchanged
@@ -333,6 +762,14 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
                               shard_leading(dg["nc"]), pa))
         cut_args = [(shard_leading(s), shard_leading(d0), shard_leading(ix))
                     for (_, _, _, _, _, s, d0, ix) in cut_sets]
+
+        v3fn = None
+        if dist.get("v3") is not None:
+            # 2-level (host, chip) program; leaf_args are shared with the
+            # solve (dist_solve_v2 consumes the dist2-compat structures)
+            v3fn, v3_args = _make_v3_fn(plan, dist, mesh, axes, dtype,
+                                        prec, shard_leading)
+            dist["v3_args"] = v3_args
 
         def leaf_body(cdata, largs, cargs):
             # per-device: largs leading dim == 1 (shard), squeeze
@@ -448,7 +885,7 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
                     Lx, panels_top[k], (g.panel_base,))
             return Lx
 
-        fn = jax.jit(full_fn)
+        fn = v3fn if v3fn is not None else jax.jit(full_fn)
         S._dist2_cache = (key, fn, leaf_args, cut_args, plan, part, dist,
                           mesh)
     _, fn, leaf_args, cut_args, plan, part, dist, mesh = S._dist2_cache
@@ -456,7 +893,10 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
     cdev = jax.device_put(
         sd._clow_data(A, S),
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()))
-    Lx = fn(cdev, leaf_args, cut_args)
+    if dist.get("v3_args") is not None:
+        Lx = fn(cdev, leaf_args, *dist["v3_args"])
+    else:
+        Lx = fn(cdev, leaf_args, cut_args)
     minor = S.n
     if not bool(jnp.isfinite(Lx).all()):
         minor = sd._find_minor(S, plan, Lx)
