@@ -17,11 +17,50 @@
 #include "common.h"
 #include <random>
 #include <functional>
+#include <chrono>
+#include <cstdio>
+#include <cstdlib>
 
 extern "C" i64 sstpu_amd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
                          double dense, i64 aggressive);
 
 namespace {
+
+// Env-gated phase profiling (SSTPU_ND_PROF=1): accumulated ns per phase,
+// printed at the end of each top-level ND call.
+struct NDProf {
+  bool on = false;
+  double match_s = 0, contract_s = 0, refine_s = 0, init_s = 0,
+         sep_s = 0, sub_s = 0, amd_s = 0, proj_s = 0;
+  void reset() {
+    const char* e = getenv("SSTPU_ND_PROF");
+    on = e && e[0] == '1';
+    match_s = contract_s = refine_s = init_s = sep_s = sub_s = amd_s =
+        proj_s = 0;
+  }
+  void print(const char* tag) {
+    if (!on) return;
+    fprintf(stderr,
+            "[nd prof %s] match=%.3f contract=%.3f init=%.3f refine=%.3f "
+            "proj=%.3f sep=%.3f sub=%.3f amd=%.3f\n",
+            tag, match_s, contract_s, init_s, refine_s, proj_s, sep_s,
+            sub_s, amd_s);
+  }
+};
+NDProf g_prof;
+
+struct ScopeT {
+  double* acc;
+  std::chrono::steady_clock::time_point t0;
+  explicit ScopeT(double* a) : acc(g_prof.on ? a : nullptr) {
+    if (acc) t0 = std::chrono::steady_clock::now();
+  }
+  ~ScopeT() {
+    if (acc)
+      *acc += std::chrono::duration<double>(
+                  std::chrono::steady_clock::now() - t0).count();
+  }
+};
 
 struct Graph {
   i64 n = 0;
@@ -470,6 +509,17 @@ struct NDContext {
   i64* perm;
   i64* cpos = nullptr;  // optional: block id per elimination POSITION
   i64 nblocks = 0;      // raw block counter (renumbered by caller)
+  // search knobs (env-overridable for tuning; defaults measured at n=125k:
+  // stop=200/restarts=2 beat deeper coarsening AND more restarts on both
+  // time and lnz — see NOTES_NEXT_ROUND.md round-3 ND scan)
+  i64 coarsen_stop = 200;
+  int restarts = 2;
+  void load_env() {
+    const char* e = getenv("SSTPU_ND_COARSEN_STOP");
+    if (e) coarsen_stop = atoll(e);
+    e = getenv("SSTPU_ND_RESTARTS");
+    if (e) restarts = atoi(e);
+  }
 };
 
 // Order subgraph (vertices vmap into the original) into perm[lo..hi).
@@ -479,6 +529,7 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
   if (n == 0) return;
   if (n <= ctx.nd_small) {
     // leaf: AMD on the subgraph (NESDIS strategy)
+    ScopeT _t(&g_prof.amd_s);
     std::vector<i64> p(n);
     if (sstpu_amd(n, g.xadj.data(), g.adj.data(), p.data(), 10.0, 1) != 0)
       for (i64 i = 0; i < n; i++) p[i] = i;
@@ -493,10 +544,15 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
   std::vector<Graph> levels;
   std::vector<std::vector<i64>> cmaps;
   levels.push_back(std::move(g));
-  while (levels.back().n > 200) {
+  while (levels.back().n > ctx.coarsen_stop) {
     std::vector<i64> cmap;
-    i64 cn = match(levels.back(), cmap, ctx.rng);
+    i64 cn;
+    {
+      ScopeT _t(&g_prof.match_s);
+      cn = match(levels.back(), cmap, ctx.rng);
+    }
     if (cn > levels.back().n * 9 / 10) break;  // stalled
+    ScopeT _t(&g_prof.contract_s);
     Graph cg = contract(levels.back(), cmap, cn);
     cmaps.push_back(std::move(cmap));
     levels.push_back(std::move(cg));
@@ -505,7 +561,8 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
   // refined candidate with the smallest cut)
   std::vector<char> side, cand;
   i64 best_cut = -1, w0 = -1;
-  for (int r = 0; r < 3; r++) {
+  for (int r = 0; r < ctx.restarts; r++) {
+    ScopeT _t(&g_prof.init_s);
     initial_bisect(levels.back(), cand, ctx.rng);
     i64 w0r = refine(levels.back(), cand);
     i64 cut = cut_weight(levels.back(), cand);
@@ -520,24 +577,31 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
     // coarse boundary -> fine candidate list (only boundary projections can
     // start on the cut; refine() touches the rest lazily)
     const Graph& cg = levels[l + 1];
-    std::vector<char> cbnd(cg.n, 0);
-    for (i64 v = 0; v < cg.n; v++)
-      for (i64 p = cg.xadj[v]; p < cg.xadj[v + 1]; p++)
-        if (side[cg.adj[p]] != side[v]) { cbnd[v] = 1; break; }
-    std::vector<char> fine(levels[l].n);
-    std::vector<i64> cand;
-    for (i64 v = 0; v < levels[l].n; v++) {
-      fine[v] = side[cmaps[l][v]];
-      if (cbnd[cmaps[l][v]]) cand.push_back(v);
+    std::vector<i64> bcand;
+    {
+      ScopeT _t(&g_prof.proj_s);
+      std::vector<char> cbnd(cg.n, 0);
+      for (i64 v = 0; v < cg.n; v++)
+        for (i64 p = cg.xadj[v]; p < cg.xadj[v + 1]; p++)
+          if (side[cg.adj[p]] != side[v]) { cbnd[v] = 1; break; }
+      std::vector<char> fine(levels[l].n);
+      for (i64 v = 0; v < levels[l].n; v++) {
+        fine[v] = side[cmaps[l][v]];
+        if (cbnd[cmaps[l][v]]) bcand.push_back(v);
+      }
+      side.swap(fine);
     }
-    side.swap(fine);
     // projection preserves side-0 weight (coarse vwgt = sum of fine vwgt)
-    w0 = refine(levels[l], side, 0.45, 0.55, &cand, w0);
+    ScopeT _t(&g_prof.refine_s);
+    w0 = refine(levels[l], side, 0.45, 0.55, &bcand, w0);
   }
   Graph& fg = levels[0];
   std::vector<char> insep;
-  separator(fg, side, insep);
-  nodesep_refine(fg, side, insep);
+  {
+    ScopeT _t(&g_prof.sep_s);
+    separator(fg, side, insep);
+    nodesep_refine(fg, side, insep);
+  }
   // split into parts
   std::vector<i64> id(fg.n, -1);
   std::vector<i64> a_nodes, b_nodes, s_nodes;
@@ -591,8 +655,11 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
   }
   Graph ga, gb;
   std::vector<i64> va, vb;
-  build_sub(a_nodes, ga, va);
-  build_sub(b_nodes, gb, vb);
+  {
+    ScopeT _t(&g_prof.sub_s);
+    build_sub(a_nodes, ga, va);
+    build_sub(b_nodes, gb, vb);
+  }
   levels.clear();  // free memory before recursing
   nd_recurse(ctx, std::move(ga), std::move(va), lo, lo + na);
   nd_recurse(ctx, std::move(gb), std::move(vb), lo + na, lo + na + nb);
@@ -607,6 +674,7 @@ SSTPU_API i64 sstpu_nested_dissection_sets(i64 n, const i64* Ap, const i64* Ai,
                                            i64* perm, i64 nd_small, i64 seed,
                                            i64* cmember) {
   if (n <= 0) return 0;
+  g_prof.reset();
   Graph g;
   g.n = n;
   g.xadj.assign(Ap, Ap + n + 1);
@@ -615,6 +683,7 @@ SSTPU_API i64 sstpu_nested_dissection_sets(i64 n, const i64* Ap, const i64* Ai,
   g.total_vwgt = n;
   NDContext ctx;
   ctx.nd_small = std::max<i64>(nd_small, 16);
+  ctx.load_env();
   ctx.rng.seed((uint64_t)seed);
   ctx.perm = perm;
   std::vector<i64> cpos;
@@ -625,6 +694,7 @@ SSTPU_API i64 sstpu_nested_dissection_sets(i64 n, const i64* Ap, const i64* Ai,
   std::vector<i64> vmap(n);
   for (i64 i = 0; i < n; i++) vmap[i] = i;
   nd_recurse(ctx, std::move(g), std::move(vmap), 0, n);
+  g_prof.print("nd");
   if (cmember) {
     // renumber blocks ascending by elimination position
     std::vector<i64> newid(ctx.nblocks, -1);
