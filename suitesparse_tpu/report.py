@@ -40,13 +40,30 @@ class Info:
     factor_cells: int = 0         # device factor buffer size
     analyze_seconds: float = 0.0
     factor_seconds: float = 0.0
+    # ---- per-phase accounting (UMFPACK Info[] granularity, r3) ----
+    chol_flops: float = 0.0       # dense-diagonal-block factorizations
+    trsm_flops: float = 0.0       # panel triangular solves
+    syrk_flops: float = 0.0       # Schur-complement updates
+    assembly_cells: float = 0.0   # extend-add traffic (child update cells)
+    pad_ratio: float = 0.0        # device panel cells / strict lnz
+    ngroups: int = 0              # compiled group steps
+    npair_classes: int = 0        # extend-add pair classes
+    nsegments: int = 0            # segmented-execution program count
+    seg_budget_cells: int = 0     # per-segment working-set budget
+    peak_bytes: float = 0.0       # estimated peak device bytes (fp32)
+    ir_steps: int = 0             # iterative-refinement sweeps configured
 
     def as_array(self) -> np.ndarray:
-        """Flat double array for UMFPACK-style consumers (stable order)."""
+        """Flat double array for UMFPACK-style consumers (stable order;
+        round-3 fields appended — existing indices unchanged)."""
         return np.array([
             self.n_row, self.n_col, self.nnz_a, self.nnz_l, self.nnz_u,
             self.flops, self.nsuper, self.nlevels, self.peak_cells,
             self.factor_cells, self.analyze_seconds, self.factor_seconds,
+            self.chol_flops, self.trsm_flops, self.syrk_flops,
+            self.assembly_cells, self.pad_ratio, self.ngroups,
+            self.npair_classes, self.nsegments, self.seg_budget_cells,
+            self.peak_bytes, self.ir_steps,
         ], dtype=np.float64)
 
 
@@ -64,6 +81,18 @@ def info_from_symbolic(S, A: CSC | None = None) -> Info:
     levels = getattr(S, "levels", None)
     info.nlevels = len(levels) if levels is not None else 0
     info.strategy = "supernodal-ll" if info.nsuper else "simplicial"
+    # per-phase flop split (umfpack Info's per-kernel accounting analog):
+    # chol = nc^3/3 per supernode, trsm = ru*nc^2, syrk = ru^2*nc
+    if info.nsuper and hasattr(S, "super_first"):
+        nc = (np.asarray(S.super_first[1:])
+              - np.asarray(S.super_first[:-1])).astype(np.float64)
+        nr = np.array([S.nrows(s) for s in range(info.nsuper)],
+                      dtype=np.float64)
+        ru = nr - nc
+        info.chol_flops = float((nc ** 3 / 3).sum())
+        info.trsm_flops = float((ru * nc * nc).sum())
+        info.syrk_flops = float((ru * ru * nc).sum())
+        info.assembly_cells = float((ru * ru).sum())
     plan = getattr(S, "_device_plan", None)
     if plan is not None:
         from .numeric.supernodal_device import _estimate_group_cells
@@ -71,6 +100,17 @@ def info_from_symbolic(S, A: CSC | None = None) -> Info:
         info.peak_cells = int(max(
             (_estimate_group_cells(g) for gl in plan.groups for g in gl),
             default=0))
+        info.pad_ratio = (float(plan.dev_size) / max(info.nnz_l, 1))
+        info.ngroups = sum(len(gl) for gl in plan.groups)
+        info.npair_classes = sum(len(g.pairs) for gl in plan.groups
+                                 for g in gl)
+        info.peak_bytes = 4.0 * (plan.dev_size + info.peak_cells)
+    seg = getattr(S, "_seg_cache", None)
+    if seg is not None:
+        info.nsegments = len(seg[2])
+        import os
+        info.seg_budget_cells = int(float(
+            os.environ.get("SSTPU_SEG_CELLS", "3e8")))
     return info
 
 
@@ -156,4 +196,15 @@ def report_info(info: Info, prl: int = 3) -> str:
        f"{info.peak_cells}", out)
     _p(prl, 2, f"  analyze {info.analyze_seconds:.3f}s  factor "
        f"{info.factor_seconds:.3f}s", out)
+    if info.chol_flops:
+        _p(prl, 2, f"  flop split: chol {info.chol_flops:.3e}  trsm "
+           f"{info.trsm_flops:.3e}  syrk {info.syrk_flops:.3e}", out)
+        _p(prl, 2, f"  assembly cells {info.assembly_cells:.3e}", out)
+    if info.ngroups:
+        _p(prl, 2, f"  groups {info.ngroups}  pair classes "
+           f"{info.npair_classes}  pad ratio {info.pad_ratio:.2f}", out)
+        _p(prl, 2, f"  est peak device bytes {info.peak_bytes:.3e}", out)
+    if info.nsegments:
+        _p(prl, 2, f"  segments {info.nsegments}  budget cells "
+           f"{info.seg_budget_cells}", out)
     return "\n".join(out)

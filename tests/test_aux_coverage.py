@@ -93,7 +93,7 @@ def test_report_family():
     info = rp.info_from_factor(F, A)
     assert info.nnz_a == A.nnz and info.flops > 0
     arr = info.as_array()
-    assert arr.size == 12 and np.isfinite(arr).all()
+    assert arr.size == 23 and np.isfinite(arr).all()
     txt = rp.report_info(info, prl=3)
     assert "nnz(L)" in txt
     # prl=0 prints nothing (Control[UMFPACK_PRL] semantics)
