@@ -187,6 +187,16 @@ def main() -> None:
     if panel_eff is not None:
         extra = {"panel_dense_gflops": round(dense_gflops, 1),
                  "panel_efficiency": round(panel_eff, 3)}
+    # capacity records measured by demos/capacity.py (BASELINE-class sizes
+    # whose cold compile is too slow to re-pay on every driver run)
+    cap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "CAPACITY.json")
+    if os.path.exists(cap_path):
+        try:
+            with open(cap_path) as f:
+                extra["capacity"] = json.load(f)
+        except Exception:
+            pass
     print(json.dumps({
         "metric": "supernodal_cholesky_fp32_gflops",
         "value": round(gflops, 3),

@@ -6,6 +6,15 @@ analyze-once/factor-many regime; the first call pays remote compiles and
 plan-array H2D (environment tunnel costs, not device time).
 
 Run: CAP_NX=80 python demos/capacity.py
+Irregular fixtures: CAP_MATRIX=aniso|fem|regular (default regular) —
+aniso = anisotropic_laplacian_3d with strength-of-connection dropping,
+fem = random-geometric FEM mesh (the BASELINE acceptance set is irregular
+FEM, BASELINE.md Table I).
+
+The result is appended to CAPACITY.json at the repo root; bench.py merges
+the latest record per matrix into its driver-facing JSON line, so capacity
+numbers measured here are BENCH-visible without re-paying the cold
+compile on every driver run.
 """
 
 from __future__ import annotations
@@ -22,6 +31,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.cache/sstpu_jax"))
 import jax  # noqa: E402
 
+if os.environ.get("JAX_PLATFORMS"):
+    # sitecustomize imports jax before env vars take effect (NOTES gotcha):
+    # honor an explicit platform request via config
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir",
                   os.environ["JAX_COMPILATION_CACHE_DIR"])
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -35,21 +48,34 @@ from suitesparse_tpu.numeric import supernodal_device as sd  # noqa: E402
 from suitesparse_tpu.numeric import supernodal_solve as ss  # noqa: E402
 
 
-def main() -> None:
+def _matrix():
     nx = int(os.environ.get("CAP_NX", "80"))
-    A = fixtures.laplacian_3d(nx)
+    kind = os.environ.get("CAP_MATRIX", "regular")
+    if kind == "aniso":
+        A = fixtures.anisotropic_laplacian_3d(nx, grade=2.0, drop_tol=0.03)
+        return A, f"aniso3d_{nx}"
+    if kind == "fem":
+        return fixtures.fem_mesh_spd(nx ** 3, seed=1), f"fem_{nx**3}"
+    return fixtures.laplacian_3d(nx), f"laplacian3d_{nx}"
+
+
+def main() -> None:
+    A, name = _matrix()
     t0 = time.time()
     S = analyze_supernodal(A, nested_dissection_order(A))
-    print(f"analyze {time.time()-t0:.1f}s n={A.ncol} "
+    t_analyze = time.time() - t0
+    print(f"analyze {t_analyze:.1f}s n={A.ncol} "
           f"fl={S.fl/1e9:.0f}G lnz={S.lnz/1e6:.0f}M", flush=True)
     t0 = time.time()
     F = sd.factorize_device(A, S)
-    print(f"first factor {time.time()-t0:.1f}s ok={F.ok}", flush=True)
+    t_first = time.time() - t0
+    print(f"first factor {t_first:.1f}s ok={F.ok}", flush=True)
     b = 1.0 + np.arange(A.ncol) / A.ncol
     t0 = time.time()
     x = ss.solve_device(F, b)
+    resid = float(sst.residual_norm(A, x, b))
     print(f"first solve {time.time()-t0:.1f}s "
-          f"residual {sst.residual_norm(A, x, b):.3e}", flush=True)
+          f"residual {resid:.3e}", flush=True)
     del F, x
     cfg = sst.DEFAULT
     # steady state: shallow pipeline (each in-flight factor holds lnz*4 B)
@@ -71,6 +97,30 @@ def main() -> None:
         del o1, o2
     print(f"steady={best*1e3:.0f}ms -> {S.fl/best/1e9:.0f} GFLOP/s",
           flush=True)
+
+    # BENCH-visible record (bench.py merges the latest entry per matrix)
+    import json
+    rec = {
+        "matrix": name, "n": int(A.ncol), "nnzA": int(A.nnz),
+        "flops": float(S.fl), "lnz_panels": int(S.lnz),
+        "nsuper": int(S.nsuper), "analyze_s": round(t_analyze, 1),
+        "first_call_s": round(t_first, 1),
+        "factor_s": round(best, 3),
+        "gflops": round(S.fl / best / 1e9, 1),
+        "residual": resid,
+        "segmented": S._device_fn is None,
+        "platform": jax.devices()[0].platform,
+        "when": time.strftime("%Y-%m-%d %H:%M"),
+    }
+    path = os.path.join(os.path.dirname(__file__), "..", "CAPACITY.json")
+    recs = []
+    if os.path.exists(path):
+        with open(path) as f:
+            recs = json.load(f)
+    recs = [r for r in recs if r.get("matrix") != name] + [rec]
+    with open(path, "w") as f:
+        json.dump(recs, f, indent=1)
+    print(f"recorded -> CAPACITY.json ({name})", flush=True)
 
 
 if __name__ == "__main__":
