@@ -127,6 +127,8 @@ def _declare(dll) -> None:
     maybe("sstpu_camd", c, [c, _i64, _i64, _i64, _i64, c])
     maybe("sstpu_wmatch", c, [c, c, _i64, _i64, _f64, _i64])
     maybe("sstpu_aat", c, [c, _i64, _i64, _i64, _i64])
+    maybe("sstpu_symperm", None, [c, _i64, _i64, _i64, _i64, _i64, _i64])
+    maybe("sstpu_transpose", None, [c, c, _i64, _i64, _i64, _i64, _i64])
     vp = ctypes.c_void_p
     maybe("sstpu_super_analyze", vp,
           [c, _i64, _i64, _i64, _i64, c, c, c, d, d, d])
@@ -382,3 +384,39 @@ def aat(n: int, indptr: np.ndarray, indices: np.ndarray) -> tuple:
     nnz = dll.sstpu_aat(n, _ptr_i64(indptr), _ptr_i64(indices),
                         _ptr_i64(outp), _ptr_i64(outi))
     return outp, outi[:nnz]
+
+
+def symperm(n: int, indptr: np.ndarray, indices: np.ndarray,
+            pinv: np.ndarray) -> tuple:
+    """Sorted upper pattern of P A P' for upper-stored A plus a position map
+    into the input entries (``~pos`` marks triangle flips the Hermitian
+    caller must conjugate). O(nnz), cs_symperm.c analog."""
+    dll = _load()
+    assert dll is not None and hasattr(dll, "sstpu_symperm")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    pinv = np.ascontiguousarray(pinv, dtype=np.int64)
+    nnz = int(indptr[n])
+    outp = np.empty(n + 1, dtype=np.int64)
+    outi = np.empty(nnz, dtype=np.int64)
+    outpos = np.empty(nnz, dtype=np.int64)
+    dll.sstpu_symperm(n, _ptr_i64(indptr), _ptr_i64(indices), _ptr_i64(pinv),
+                      _ptr_i64(outp), _ptr_i64(outi), _ptr_i64(outpos))
+    return outp, outi, outpos
+
+
+def transpose(nrow: int, ncol: int, indptr: np.ndarray,
+              indices: np.ndarray) -> tuple:
+    """Sorted transpose pattern plus position map, one counting pass
+    (cs_transpose.c analog)."""
+    dll = _load()
+    assert dll is not None and hasattr(dll, "sstpu_transpose")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    nnz = int(indptr[ncol])
+    outp = np.empty(nrow + 1, dtype=np.int64)
+    outi = np.empty(nnz, dtype=np.int64)
+    outpos = np.empty(nnz, dtype=np.int64)
+    dll.sstpu_transpose(nrow, ncol, _ptr_i64(indptr), _ptr_i64(indices),
+                        _ptr_i64(outp), _ptr_i64(outi), _ptr_i64(outpos))
+    return outp, outi, outpos

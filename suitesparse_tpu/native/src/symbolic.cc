@@ -201,3 +201,65 @@ SSTPU_API i64 sstpu_aat(i64 n, const i64* Ap, const i64* Ai,
   // (starts already correct: outp[j] = start of column j, outp[n] = nnz)
   return w;
 }
+
+// Symmetric permutation C = P A P' of an UPPER-stored symmetric pattern,
+// dtype-agnostic: emits the sorted output pattern plus a position map into
+// the input entry array (pos, or ~pos when the entry flipped triangles and
+// a Hermitian caller must conjugate it). Two stable counting passes (by row
+// then by column) replace sparse.py's O(nnz log nnz) triplet lexsort
+// (cs_symperm.c analog, but sorted output).
+SSTPU_API void sstpu_symperm(i64 n, const i64* Ap, const i64* Ai,
+                             const i64* pinv, i64* outp, i64* outi,
+                             i64* outpos) {
+  i64 nnz = Ap[n];
+  std::vector<i64> r(nnz), c(nnz), pos(nnz);
+  {
+    i64 k = 0;
+    for (i64 j = 0; j < n; j++) {
+      i64 j2 = pinv[j];
+      for (i64 p = Ap[j]; p < Ap[j + 1]; p++, k++) {
+        i64 i2 = pinv[Ai[p]];
+        bool flip = i2 > j2;
+        r[k] = flip ? j2 : i2;
+        c[k] = flip ? i2 : j2;
+        pos[k] = flip ? ~p : p;
+      }
+    }
+  }
+  // pass 1: stable distribute by row
+  std::vector<i64> cnt(n + 1, 0), ord(nnz), ord2(nnz);
+  for (i64 k = 0; k < nnz; k++) cnt[r[k] + 1]++;
+  for (i64 i = 0; i < n; i++) cnt[i + 1] += cnt[i];
+  for (i64 k = 0; k < nnz; k++) ord[cnt[r[k]]++] = k;
+  // pass 2: stable distribute by column
+  std::fill(cnt.begin(), cnt.end(), 0);
+  for (i64 k = 0; k < nnz; k++) cnt[c[k] + 1]++;
+  for (i64 i = 0; i < n; i++) cnt[i + 1] += cnt[i];
+  for (i64 j = 0; j <= n; j++) outp[j] = cnt[j];
+  for (i64 t = 0; t < nnz; t++) {
+    i64 k = ord[t];
+    ord2[cnt[c[k]]++] = k;
+  }
+  for (i64 t = 0; t < nnz; t++) {
+    outi[t] = r[ord2[t]];
+    outpos[t] = pos[ord2[t]];
+  }
+}
+
+// Transpose pattern + position map, one counting pass, sorted output
+// (cs_transpose.c analog; replaces sparse.py's stable argsort).
+SSTPU_API void sstpu_transpose(i64 nrow, i64 ncol, const i64* Ap,
+                               const i64* Ai, i64* outp, i64* outi,
+                               i64* outpos) {
+  i64 nnz = Ap[ncol];
+  std::vector<i64> cnt(nrow + 1, 0);
+  for (i64 p = 0; p < nnz; p++) cnt[Ai[p] + 1]++;
+  for (i64 i = 0; i < nrow; i++) cnt[i + 1] += cnt[i];
+  for (i64 i = 0; i <= nrow; i++) outp[i] = cnt[i];
+  for (i64 j = 0; j < ncol; j++)
+    for (i64 p = Ap[j]; p < Ap[j + 1]; p++) {
+      i64 q = cnt[Ai[p]]++;
+      outi[q] = j;
+      outpos[q] = p;
+    }
+}

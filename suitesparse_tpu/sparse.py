@@ -139,6 +139,13 @@ class CSC:
 
         Reference analog: ``cs_transpose.c`` / ``Core/cholmod_transpose.c``.
         """
+        from . import native
+        if native.available() and hasattr(native._load(), "sstpu_transpose"):
+            outp, outi, pos = native.transpose(self.nrow, self.ncol,
+                                               self.indptr, self.indices)
+            data = (self.data[pos] if values
+                    else np.zeros(len(outi), self.data.dtype))
+            return CSC(self.ncol, self.nrow, outp, outi, data, -self.sym)
         cols = np.repeat(np.arange(self.ncol, dtype=np.int64), np.diff(self.indptr))
         order = np.argsort(self.indices, kind="stable")
         new_indices = cols[order]
@@ -181,6 +188,16 @@ class CSC:
         assert self.sym == 1, "symperm expects upper-stored symmetric"
         n = self.ncol
         pinv = invert_permutation(p)
+        from . import native
+        if native.available() and hasattr(native._load(), "sstpu_symperm"):
+            outp, outi, pos = native.symperm(n, self.indptr, self.indices,
+                                             pinv)
+            flip = pos < 0
+            pos = np.where(flip, ~pos, pos)
+            data = self.data[pos]
+            if np.iscomplexobj(data):
+                data = np.where(flip, np.conj(data), data)
+            return CSC(n, n, outp, outi, data, 1)
         cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(self.indptr))
         i2 = pinv[self.indices]
         j2 = pinv[cols]

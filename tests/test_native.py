@@ -153,3 +153,29 @@ def test_camd_constraint_contiguity():
     S_c = simplicial.symbolic_cholesky(A, p)
     S_nat = simplicial.symbolic_cholesky(A)
     assert S_c.lnz < S_nat.lnz * 3
+
+
+def test_native_symperm_transpose_match_oracle():
+    """Native O(nnz) symperm/transpose (position-map protocol) vs dense
+    oracles, real and complex, random permutations."""
+    if not native.has("sstpu_symperm"):
+        pytest.skip("symperm not built")
+    from suitesparse_tpu.sparse import CSC, from_triplets
+    rng = np.random.default_rng(7)
+    for trial in range(8):
+        n = int(rng.integers(2, 40))
+        m = int(n * n * 0.3) + 1
+        r = rng.integers(0, n, m)
+        c = rng.integers(0, n, m)
+        v = rng.standard_normal(m)
+        if trial % 2:
+            v = v + 1j * rng.standard_normal(m)
+        A = from_triplets(n, n, np.minimum(r, c), np.maximum(r, c), v, sym=1)
+        p = rng.permutation(n).astype(np.int64)
+        C = A.symperm(p)
+        C.check()
+        assert np.allclose(C.to_dense(), A.to_dense()[np.ix_(p, p)])
+        B = CSC(A.nrow, A.ncol, A.indptr, A.indices, A.data, 0)
+        T = B.transpose()
+        T.check()
+        assert np.allclose(T.to_dense(), B.to_dense().T)
