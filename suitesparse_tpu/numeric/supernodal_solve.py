@@ -34,6 +34,83 @@ from .supernodal import SupernodalFactor
 __all__ = ["build_solve_plan", "solve_device", "solve_refined"]
 
 
+def _use_inv_solve(nrhs: int) -> bool:
+    """Inverse-panel solve policy (SSTPU_SOLVE_INV=auto|1|0).
+
+    With W = L11^{-1} precomputed per group (one batched C-RHS trisolve at
+    first solve, cached on the factor), every sequential in-sweep trisolve
+    becomes ONE MXU matmul — the same partitioned-inverse trick GPU trisolve
+    libraries use, applied at supernode-group granularity. Targets the
+    latency-bound single-RHS case (multi-RHS already amortizes the per-step
+    cost); refinement restores fp64-class residuals as usual."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("SSTPU_SOLVE_INV", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu" and nrhs <= 8
+
+
+def build_winv(splan: "SolvePlan", Lx, dtype):
+    """W[d][gi] = L11^{-1} for every solve group (identity on padded
+    rows/cols, so padded columns pass through exactly like the trisolve).
+
+    One jitted batched triangular solve per group; runs once per factor.
+    The compiled builder is cached on the SolvePlan so the factor-many
+    contract pays tracing/compile once."""
+    import jax
+    import jax.numpy as jnp
+
+    cached = getattr(splan, "_winv_builders", None)
+    if cached is None:
+        cached = {}
+        splan._winv_builders = cached
+    build = cached.get(str(dtype))
+    if build is None:
+        @jax.jit
+        def build(lx):
+            Lxp = jnp.concatenate([lx.astype(dtype),
+                                   jnp.zeros(1, dtype=dtype)])
+            out = []
+            for sglist in splan.groups:
+                row = []
+                for sg in sglist:
+                    L11, _ = _group_panels(Lxp, sg, dtype)
+                    eye = jnp.broadcast_to(jnp.eye(sg.C, dtype=dtype),
+                                           (sg.B, sg.C, sg.C))
+                    row.append(jax.lax.linalg.triangular_solve(
+                        L11, eye, left_side=True, lower=True))
+                out.append(row)
+            return out
+        cached[str(dtype)] = build
+
+    return build(Lx)
+
+
+def _group_panels(Lxp, g: "SolveGroup", dtype):
+    """(L11, L21) of one device-layout solve group; identity-padded L11."""
+    import jax
+    import jax.numpy as jnp
+
+    sl = jax.lax.dynamic_slice_in_dim(Lxp, g.panel_base, g.B * g.R * g.C)
+    # barrier: XLA's backend otherwise folds the per-group reshape-of-slice
+    # pattern into ONE whole-factor (X, R, C) reshape whose lane-padded
+    # tiling (C -> 128) cost 16x HBM — a 38 GB compile-time OOM at n=512k
+    (sl,) = jax.lax.optimization_barrier((sl,))
+    P = sl.reshape(g.B, g.R, g.C)
+    L11 = P[:, :g.C, :]
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 1)
+    cidx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 2)
+    ncb = jnp.asarray(g.nc).reshape(g.B, 1, 1)
+    eye = jnp.where(ridx == cidx, jnp.asarray(1.0, dtype), 0.0)
+    live = (ridx < ncb) & (cidx < ncb)
+    return jnp.where(live, L11, eye), P[:, g.C:, :]
+
+
 def _use_step_kernel(dtype, B: int, C: int, RU: int, nrhs: int) -> bool:
     """Fused solve-step kernel policy (mirrors _use_potrf_kernel)."""
     import os
@@ -397,12 +474,15 @@ def _mf2_solve_fn(S: SupernodalSymbolic, plan, solve_plan, m2: MF2Plan,
     return xheap[:m2.xrows]
 
 
-def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
+def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
+                 winv=None):
     """Multifrontal solve over the device factor layout (see module doc).
 
     ``plan`` is the factorization Plan (pair routing reused verbatim);
     ``solve_plan`` the SolvePlan (panel slices + column gathers);
-    ``pb`` (n+1, nrhs) the permuted rhs with a zero dump row."""
+    ``pb`` (n+1, nrhs) the permuted rhs with a zero dump row;
+    ``winv`` optional precomputed L11^{-1} pytree (see build_winv) — when
+    given, every trisolve in the sweep becomes one matmul."""
     import jax
     import jax.numpy as jnp
 
@@ -411,22 +491,7 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
     Lxp = jnp.concatenate([Lx.astype(dtype), jnp.zeros(1, dtype=dtype)])
 
     def panels_of(g):
-        sl = jax.lax.dynamic_slice_in_dim(
-            Lxp, g.panel_base, g.B * g.R * g.C)
-        # barrier: XLA's backend otherwise folds the per-group
-        # reshape-of-slice pattern into ONE whole-factor (X, R, C) reshape
-        # whose lane-padded tiling (C -> 128) cost 16x HBM — a 38 GB
-        # compile-time OOM at n=512k
-        (sl,) = jax.lax.optimization_barrier((sl,))
-        P = sl.reshape(g.B, g.R, g.C)
-        L11 = P[:, :g.C, :]
-        ridx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 1)
-        cidx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 2)
-        ncb = jnp.asarray(g.nc).reshape(g.B, 1, 1)
-        eye = jnp.where(ridx == cidx, jnp.asarray(1.0, dtype), 0.0)
-        live = (ridx < ncb) & (cidx < ncb)
-        L11 = jnp.where(live, L11, eye)
-        return L11, P[:, g.C:, :]
+        return _group_panels(Lxp, g, dtype)
 
     from .supernodal_device import _use_potrf_kernel
 
@@ -455,7 +520,14 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
                 w = w.at[dst].add(placed, indices_are_sorted=True)
             yc = pb[sg.col_idx].reshape(B, C, nrhs) - w[:, :C, :]
             L11, L21 = panels_of(sg)
-            if RU > 0 and _use_step_kernel(dtype, B, C, RU, nrhs):
+            if winv is not None:
+                xc = jnp.matmul(winv[d][gi], yc,
+                                preferred_element_type=dtype)
+                yfwd[(d, gi)] = xc
+                if RU > 0:
+                    up[(d, gi)] = jnp.matmul(
+                        L21, xc, preferred_element_type=dtype) + w[:, C:, :]
+            elif RU > 0 and _use_step_kernel(dtype, B, C, RU, nrhs):
                 from ..kernels.solve_step import solve_step_fwd
                 xc, V = solve_step_fwd(L11, L21, yc, w[:, C:, :])
                 yfwd[(d, gi)] = xc
@@ -482,7 +554,14 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype):
                 below = jnp.zeros((B, max(RU, 1), nrhs), dtype=dtype)
             yc = yfwd[(d, gi)]
             L11, L21 = panels_of(sg)
-            if RU > 0 and _use_step_kernel(dtype, B, C, RU, nrhs):
+            if winv is not None:
+                if RU > 0:
+                    yc = yc - jnp.matmul(jnp.swapaxes(L21, 1, 2),
+                                         below[:, :RU],
+                                         preferred_element_type=dtype)
+                xc = jnp.matmul(jnp.swapaxes(winv[d][gi], 1, 2), yc,
+                                preferred_element_type=dtype)
+            elif RU > 0 and _use_step_kernel(dtype, B, C, RU, nrhs):
                 from ..kernels.solve_step import solve_step_bwd
                 xc = solve_step_bwd(L11, L21, yc, below[:, :RU])
             else:
@@ -570,7 +649,8 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     one_d = b.ndim == 1
     bb = b.reshape(-1, 1) if one_d else b
     pb = bb[S.perm]
-    key = (layout, str(dtype), bb.shape[1])
+    use_inv = layout == "device" and _use_inv_solve(bb.shape[1])
+    key = (layout, str(dtype), bb.shape[1], use_inv)
     cache = getattr(S, "_solve_cache", None)
     if cache is None or cache[0] != key:
         if layout == "device":
@@ -583,7 +663,12 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
             # vheap gathers (~5 ns/elem over ~2.2M contribution elements)
             # cost more than the op-count reduction saves. mf2 stays as an
             # opt-in (SSTPU_SOLVE_MF2=1) for shapes where it may win.
-            if os.environ.get("SSTPU_SOLVE_MF2", "0") != "1":
+            if use_inv:
+                def fn_mf(lx, pbp, wv):
+                    xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype,
+                                        winv=wv)
+                    return xcat[xmap]
+            elif os.environ.get("SSTPU_SOLVE_MF2", "0") != "1":
                 def fn_mf(lx, pbp):
                     xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype)
                     return xcat[xmap]
@@ -604,7 +689,17 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     _, fn = S._solve_cache
     if layout == "device":
         pbp = np.concatenate([pb, np.zeros((1, pb.shape[1]))], axis=0)
-        yz = np.asarray(fn(F.Lx, jnp.asarray(pbp)), dtype=np.float64)
+        if use_inv:
+            # inverse panels cached per factor VALUES (device arrays are
+            # immutable; a refactorization makes a fresh Lx object)
+            wcache = getattr(F, "_winv", None)
+            if wcache is None or wcache[0] != (str(dtype), id(F.Lx)):
+                wv = build_winv(plan, F.Lx, dtype)
+                F._winv = ((str(dtype), id(F.Lx)), wv)
+            yz = np.asarray(fn(F.Lx, jnp.asarray(pbp), F._winv[1]),
+                            dtype=np.float64)
+        else:
+            yz = np.asarray(fn(F.Lx, jnp.asarray(pbp)), dtype=np.float64)
     else:
         yz = np.asarray(fn(jnp.asarray(F.Lx), jnp.asarray(pb)),
                         dtype=np.float64)
