@@ -52,6 +52,13 @@ _R_LADDER = [8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512, 768, 1024,
              1536, 2048, 3072, 4096, 6144, 8192]
 _C_LADDER = [4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512]
 
+# SSTPU_LADDER=coarse swaps in a pow2 ladder with ~half the rungs: fewer
+# unique group shapes = fewer XLA programs (first-call compile), at the cost
+# of more padded cells/flops (prof_ladder.py quantifies the inflation)
+if __import__("os").environ.get("SSTPU_LADDER", "") == "coarse":
+    _R_LADDER = [8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+    _C_LADDER = [8, 16, 32, 64, 128, 256, 512]
+
 
 def _pad_to(x: int, ladder) -> int:
     for v in ladder:
