@@ -506,19 +506,32 @@ def _augment_pairs(plan: "Plan") -> None:
                 t_ga = np_ * (RU * RU + 4.0 * R * RU + 3.0 * R * R) * 4 \
                     / _PLACE_BW + 3 * _PLACE_OP
                 best_scan = None
-                for T in (128, 256, 512):
-                    if T > R or T > RU + 1:
-                        continue
-                    npp = 0
-                    for p in range(np_):
-                        fc = idx[p][idx[p] >= 0]
-                        k = sum(-(-L // T) for (_f, _a, L) in _runs_of(fc))
-                        npp += k * k
-                    pad = 2.0 * B_c * (RU + 2 * T) ** 2 * 4 / _PLACE_BW
-                    t = npp * max(_PLACE_OP, 3.0 * T * T * 4 / _PLACE_BW) \
-                        + pad + 2 * _PLACE_OP
-                    if best_scan is None or t < best_scan[0]:
-                        best_scan = (t, T)
+                scan_ts = [T for T in (128, 256, 512)
+                           if T <= R and T <= RU + 1]
+                if scan_ts:
+                    # vectorized per-pair run decomposition (the per-pair
+                    # Python loop here cost ~1 s of analyze at n=125k):
+                    # every valid cell belongs to the most recent run start
+                    # in its row, so bincount(run id over valid cells) is
+                    # exactly the run-length list
+                    m = idx >= 0
+                    newrun = m.copy()
+                    newrun[:, 1:] &= ~(m[:, :-1]
+                                       & (idx[:, 1:] == idx[:, :-1] + 1))
+                    pr, _pj = np.nonzero(newrun)
+                    runid = np.cumsum(newrun.ravel()) - 1
+                    lens = np.bincount(runid[m.ravel()],
+                                       minlength=pr.size) if pr.size else \
+                        np.zeros(0, dtype=np.int64)
+                    for T in scan_ts:
+                        kr = -(-lens // T)
+                        kp = np.bincount(pr, weights=kr, minlength=np_)
+                        npp = float((kp * kp).sum())
+                        pad = 2.0 * B_c * (RU + 2 * T) ** 2 * 4 / _PLACE_BW
+                        t = npp * max(_PLACE_OP, 3.0 * T * T * 4 / _PLACE_BW) \
+                            + pad + 2 * _PLACE_OP
+                        if best_scan is None or t < best_scan[0]:
+                            best_scan = (t, T)
                 choice = "mm"
                 if mode == "mm":
                     choice = "mm"
@@ -536,9 +549,10 @@ def _augment_pairs(plan: "Plan") -> None:
                 pc.strategy = choice
                 if choice == "gather":
                     inv = np.full((np_, R), RU, dtype=np.int64)
-                    for p in range(np_):
-                        fc = idx[p][idx[p] >= 0]
-                        inv[p, fc] = np.arange(fc.size)
+                    mk = idx >= 0
+                    rank = np.cumsum(mk, axis=1) - 1
+                    pr2, pj2 = np.nonzero(mk)
+                    inv[pr2, idx[pr2, pj2]] = rank[pr2, pj2]
                     valid = inv < RU
                     g1 = np.where(valid, src.astype(np.int64)[:, None] * RU
                                   + inv, 0).astype(np.int32)
