@@ -57,14 +57,18 @@ def main() -> None:
     platform = jax.devices()[0].platform
     A = fixtures.laplacian_3d(size)
     n = A.ncol
+    # A/B knobs (tpu_ab.py): tree cutoff and update dtype via env
+    cfg = sst.DEFAULT
+    if os.environ.get("SSTPU_ND_SMALL"):
+        cfg = cfg.replace(nd_small=int(os.environ["SSTPU_ND_SMALL"]))
+    if os.environ.get("SSTPU_UPDATE_DTYPE"):
+        cfg = cfg.replace(update_dtype=os.environ["SSTPU_UPDATE_DTYPE"])
     t0 = time.time()
-    p = nested_dissection_order(A)
+    p = nested_dissection_order(A, cfg)
     t_ord = time.time() - t0
     t0 = time.time()
     S = analyze_supernodal(A, p)
     t_sym = time.time() - t0
-
-    cfg = sst.DEFAULT
     t0 = time.time()
     F = supernodal_device.factorize_device(A, S, cfg)
     t_first = time.time() - t0

@@ -1,0 +1,88 @@
+"""TPU A/B measurement harness for the round-3 performance backlog.
+
+Runs bench.py under a matrix of env configurations (one fresh process per
+config — env knobs are read at import/plan time), appending one JSON line
+per config to AB_RESULTS.jsonl. Resumable: configs already present in the
+results file are skipped, so a dropped tunnel just means re-running.
+
+Backlog (VERDICT r2 items 1, 2, 6, 7):
+  base        — reproduce the r2 906 GF/s reference point
+  place_auto  — placement strategy engine (gather/scan vs one-hot mm)
+  solve_inv   — inverse-panel single-RHS solve (<5 ms target)
+  ladder      — coarse shape ladder (compile time; 141 -> 82 shapes)
+  nd2000      — nd_small=2000 tree (better lnz/fl, +28% nsuper)
+  bf16        — bfloat16 update mode (+ fp64-IR contract)
+
+Usage:  python tpu_ab.py [config ...]   (default: all, in order)
+"""
+import json
+import os
+import subprocess
+import sys
+import time
+
+CONFIGS = {
+    "base": {"SSTPU_PLACE": "mm", "SSTPU_SOLVE_INV": "0"},
+    "place_auto": {"SSTPU_PLACE": "auto", "SSTPU_SOLVE_INV": "0"},
+    "solve_inv": {"SSTPU_PLACE": "mm", "SSTPU_SOLVE_INV": "1"},
+    "place_inv": {"SSTPU_PLACE": "auto", "SSTPU_SOLVE_INV": "1"},
+    "ladder": {"SSTPU_PLACE": "auto", "SSTPU_LADDER": "coarse"},
+    "nd2000": {"SSTPU_PLACE": "auto", "SSTPU_ND_SMALL": "2000"},
+    "bf16": {"SSTPU_PLACE": "auto", "SSTPU_UPDATE_DTYPE": "bfloat16"},
+}
+
+RESULTS = os.path.join(os.path.dirname(__file__), "AB_RESULTS.jsonl")
+
+
+def done_configs():
+    out = set()
+    if os.path.exists(RESULTS):
+        with open(RESULTS) as f:
+            for line in f:
+                try:
+                    out.add(json.loads(line)["config"])
+                except Exception:
+                    pass
+    return out
+
+
+def run(name: str, extra_env: dict) -> bool:
+    env = dict(os.environ)
+    env.update(extra_env)
+    t = time.time()
+    p = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                       text=True, env=env, timeout=3600)
+    line = None
+    for ln in reversed(p.stdout.splitlines()):
+        if ln.startswith("{"):
+            line = ln
+            break
+    rec = {"config": name, "env": extra_env, "rc": p.returncode,
+           "wall_s": round(time.time() - t, 1)}
+    if line:
+        try:
+            rec["bench"] = json.loads(line)
+        except Exception:
+            rec["raw"] = line[-500:]
+    else:
+        rec["stderr_tail"] = p.stderr[-500:]
+    with open(RESULTS, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    ok = p.returncode == 0 and line is not None
+    print(f"[{name}] {'OK' if ok else 'FAIL'} {rec.get('wall_s')}s "
+          f"{(rec.get('bench') or {}).get('value')}")
+    return ok
+
+
+def main():
+    names = sys.argv[1:] or list(CONFIGS)
+    skip = done_configs()
+    for name in names:
+        if name in skip:
+            print(f"[{name}] already recorded, skipping")
+            continue
+        run(name, CONFIGS[name])
+
+
+if __name__ == "__main__":
+    main()
