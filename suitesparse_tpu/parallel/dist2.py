@@ -1117,7 +1117,11 @@ def dist_solve_v2(F, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
                   [P(axes) for _ in dist_groups], P())
         out_bwd = P(axes)
 
-        def solve_fn(Lx, pbp):
+        # sargs/leaf_args/cut_args ride as ARGUMENTS, not closure constants:
+        # closing over arrays sharded across the global mesh is illegal in
+        # real multi-process execution ("Closing over jax.Array that spans
+        # non-addressable devices") — the factor fn already does the same
+        def solve_fn(Lx, pbp, sargs, leaf_args, cut_args):
             pbp = pbp.astype(dtype)
             yf, wtop_r = shard_map(leaf_fwd, mesh=mesh, in_specs=in_fwd,
                                    out_specs=out_fwd, check_rep=False)(
@@ -1221,10 +1225,11 @@ def dist_solve_v2(F, b: np.ndarray, config: Config = DEFAULT) -> np.ndarray:
                 L11, yc, left_side=True, lower=True, transpose_a=transpose)
 
         jfn = jax.jit(solve_fn)
-        S._dist2_solve = ((nrhs, str(dtype)), jfn)
-    _, jfn = S._dist2_solve
+        S._dist2_solve = ((nrhs, str(dtype)), jfn, sargs)
+    _, jfn, sargs = S._dist2_solve
     pbp = np.concatenate([bb[S.perm], np.zeros((1, nrhs))], axis=0)
-    yz = np.asarray(jfn(F.Lx, jnp.asarray(pbp)), dtype=np.float64)
+    yz = np.asarray(jfn(F.Lx, jnp.asarray(pbp), sargs, leaf_args, cut_args),
+                    dtype=np.float64)
     x = np.empty_like(yz)
     x[S.perm] = yz
     return x[:, 0] if one_d else x

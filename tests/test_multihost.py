@@ -120,3 +120,70 @@ def test_model_scaling_table():
     # MID phase moves bytes off DCN: the 2-host split must psum fewer
     # global cells than the same fleet with every crown front global
     assert by[(2, 4)]["dcn_mbytes"] < by[(1, 8)]["dcn_mbytes"]
+
+
+_WORKER = r'''
+import sys
+import numpy as np
+import jax
+jax.config.update("jax_platforms", "cpu")
+pid = int(sys.argv[1]); port = sys.argv[2]
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=2, process_id=pid)
+import suitesparse_tpu as sst
+from suitesparse_tpu.io import fixtures
+from suitesparse_tpu.ordering.amd import amd_order
+from suitesparse_tpu.symbolic.supernodes import analyze_supernodal
+import suitesparse_tpu.parallel.multihost as mh
+
+A = fixtures.laplacian_3d(6)
+S = analyze_supernodal(A, amd_order(A))
+mesh = mh.host_chip_mesh()          # host axis = REAL process topology
+assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"host": 2, "chip": 2}
+F = mh.factorize(A, S, mesh)
+assert F.ok
+b = 1.0 + np.arange(A.ncol) / A.ncol
+x = mh.solve(F, b)
+resid = sst.residual_norm(A, x, b)
+assert resid < 1e-4, resid
+print("MULTIPROCESS_OK", pid, resid, flush=True)
+'''
+
+
+def test_real_two_process_distributed(tmp_path):
+    """TRUE >=2-host execution: two OS processes under jax.distributed
+    (Gloo CPU collectives = the DCN analog), each owning 2 virtual chips.
+    The SAME single-controller dist2 program every process runs; 'host'
+    mesh axis follows the real process topology. Regression: sargs/leaf/cut
+    index arrays must ride as jit ARGUMENTS (closing over global-mesh
+    arrays is illegal in real multi-process runs)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    w = tmp_path / "worker.py"
+    w.write_text(_WORKER)
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("JAX_NUM_PROCESSES", None)
+    procs = [subprocess.Popen([sys.executable, str(w), str(i), port],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, text=True, env=env)
+             for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"rank {i} failed:\n{out[-2000:]}"
+        assert "MULTIPROCESS_OK" in out, out[-2000:]
