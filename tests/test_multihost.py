@@ -187,3 +187,45 @@ def test_real_two_process_distributed(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"rank {i} failed:\n{out[-2000:]}"
         assert "MULTIPROCESS_OK" in out, out[-2000:]
+
+
+def test_compiled_collective_structure():
+    """The DCN invariant, asserted from the compiled HLO (VERDICT r2 weak
+    #7): the 2-level factorization lowers to EXACTLY two all-reduces — one
+    host-local (chip axis = ICI; replica groups stay within a host's
+    devices) and ONE global psum (the only op whose bytes cross hosts) —
+    and no other collectives (no all-gather / collective-permute)."""
+    import re
+
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec
+    from suitesparse_tpu.numeric import supernodal_device as sd
+
+    A = fixtures.laplacian_3d(6)
+    S = analyze_supernodal(A, amd_order(A))
+    mesh = _mesh(2, 4)
+    F = dist_factorize_v2(A, S, mesh, sst.DEFAULT)
+    assert F.ok
+    (_, fn, leaf_args, _cut, _plan, _part, dist, m) = S._dist2_cache
+    cdev = jax.device_put(jnp.asarray(sd._clow_data(A, S)),
+                          NamedSharding(mesh, PartitionSpec()))
+    args = (cdev, leaf_args) + tuple(dist.get("v3_args", ()))
+    txt = fn.lower(*args).compile().as_text()
+    groups = re.findall(r"all-reduce[^\n]*replica_groups=(\{\{[^=]*?\}\})",
+                        txt)
+    assert len(groups) == 2, groups
+    host0 = {d.id for d in mesh.devices[0].ravel()}
+
+    def spans_hosts(g):
+        # each inner {…} is one replica group; a collective crosses DCN iff
+        # SOME group mixes devices of different hosts
+        for grp in re.findall(r"\{([\d,]+)\}", g):
+            ids = {int(x) for x in grp.split(",")}
+            if ids - host0 and ids & host0:
+                return True
+        return False
+
+    spanning = [g for g in groups if spans_hosts(g)]
+    assert len(spanning) == 1, groups       # ONE DCN collective
+    assert "all-gather" not in txt
+    assert "collective-permute" not in txt
