@@ -157,14 +157,21 @@ def _build_px_maps(S, plan):
 
 
 def build_plan(S: SupernodalSymbolic, C_low: CSC,
-               split_mask: np.ndarray | None = None) -> Plan:
+               split_mask: np.ndarray | None = None,
+               ladders: tuple | None = None) -> Plan:
     """Precompute every index array for the device factorization.
 
     ``split_mask`` (optional bool or int per snode) forces snodes with
     different mask values into different groups — the distributed planner
     uses it to keep TOP (separator-crown) supernodes out of the
     subtree-owned groups, and the 2-level topology planner to additionally
-    separate host-local MID supernodes (parallel/schedule.py)."""
+    separate host-local MID supernodes (parallel/schedule.py).
+
+    ``ladders`` (optional (R_ladder, C_ladder)) overrides the shape-bucket
+    rungs — the coarse SOLVE plan buckets with pow4 rungs to cut the
+    sequential step count ~3.6x (latency-bound 1-RHS solves); panels are
+    tightened to group-actual maxima either way."""
+    R_lad, C_lad = ladders if ladders is not None else (_R_LADDER, _C_LADDER)
     children: list = [[] for _ in range(S.nsuper)]
     for s in range(S.nsuper):
         if S.sparent[s] != -1:
@@ -178,8 +185,8 @@ def build_plan(S: SupernodalSymbolic, C_low: CSC,
         buckets: dict = {}
         for s in level_nodes:
             nr, nc = S.nrows(s), S.ncols(s)
-            key = (_pad_to(nr - nc, _R_LADDER) + _pad_to(nc, _C_LADDER),
-                   _pad_to(nc, _C_LADDER),
+            key = (_pad_to(nr - nc, R_lad) + _pad_to(nc, C_lad),
+                   _pad_to(nc, C_lad),
                    int(split_mask[s]) if split_mask is not None else 0)
             buckets.setdefault(key, []).append(int(s))
         glist = sorted(buckets.items())
@@ -1010,6 +1017,7 @@ def factorize_device(A: CSC, S: SupernodalSymbolic,
         C_low = A.symperm(S.perm).transpose()
         plan = build_plan(S, C_low)
         S._device_plan = plan
+        S._clow_cache = C_low      # pattern reuse (coarse solve plan)
         S._device_fn = None
     dtype = jnp.float64 if (config.compute_dtype == "float64"
                             and jax.config.jax_enable_x64) else jnp.float32

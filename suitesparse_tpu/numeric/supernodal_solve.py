@@ -111,6 +111,81 @@ def _group_panels(Lxp, g: "SolveGroup", dtype):
     return jnp.where(live, L11, eye), P[:, g.C:, :]
 
 
+# pow4 rungs for the COARSE solve plan: ~3.6x fewer (level, bucket) steps
+# than the factor ladder at ~2x panel-gather traffic (n=125k: 124 -> 34
+# groups, 110M -> 220M ladder cells before group-max tightening) — the
+# 1-RHS solve is sequential-step-latency bound, not bandwidth bound
+_SOLVE_R_LADDER = [16, 64, 256, 1024, 4096, 8192]
+_SOLVE_C_LADDER = [16, 64, 256, 512]
+
+
+def _use_coarse_solve() -> bool:
+    """Coarse solve-plan policy (SSTPU_SOLVE_COARSE=auto|1|0)."""
+    import os
+
+    import jax
+
+    mode = os.environ.get("SSTPU_SOLVE_COARSE", "auto")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu"
+
+
+def _coarse_plan(S: SupernodalSymbolic):
+    """Solve-only re-bucketed plan (cached on the symbolic)."""
+    plan2 = getattr(S, "_solve_coarse_plan", None)
+    if plan2 is None:
+        from .supernodal_device import build_plan
+        C_low = getattr(S, "_clow_cache", None)
+        # the plan builder only reads C_low's PATTERN-dependent scatter for
+        # asrc/adst (unused by the solve) — reuse any cached one or rebuild
+        if C_low is None:
+            raise RuntimeError("coarse solve plan needs C_low (see caller)")
+        plan2 = build_plan(S, C_low,
+                           ladders=(_SOLVE_R_LADDER, _SOLVE_C_LADDER))
+        S._solve_coarse_plan = plan2
+    return plan2
+
+
+def _snode_panels(S: SupernodalSymbolic, plan):
+    """Per-supernode (flat panel base, R, C) for a device plan."""
+    base = np.zeros(S.nsuper, dtype=np.int64)
+    Rs = np.zeros(S.nsuper, dtype=np.int64)
+    Cs = np.zeros(S.nsuper, dtype=np.int64)
+    for gl in plan.groups:
+        for g in gl:
+            for b, s in enumerate(g.snodes):
+                base[s] = g.panel_base + b * g.R * g.C
+                Rs[s] = g.R
+                Cs[s] = g.C
+    return base, Rs, Cs
+
+
+def relayout_map(S: SupernodalSymbolic, plan1, plan2) -> np.ndarray:
+    """int32 gather map: Lx2[i] = Lx1[map[i]] (sentinel plan1.dev_size for
+    plan2 padding, which the padded source resolves to 0).
+
+    Device panels are GAPPED row-major (R, C): supernode s's pivot rows sit
+    at panel rows [0, nc) and its below rows at [C, C + nr - nc) — the gap
+    [nc, C) is the dead-pivot padding region, which must stay zero."""
+    b1, R1, C1 = _snode_panels(S, plan1)
+    b2, R2, C2 = _snode_panels(S, plan2)
+    m = np.full(plan2.dev_size, plan1.dev_size, dtype=np.int64)
+    for s in range(S.nsuper):
+        nr = len(S.rows[s])
+        nc = int(S.super_first[s + 1] - S.super_first[s])
+        r1 = np.concatenate([np.arange(nc), C1[s] + np.arange(nr - nc)])
+        r2 = np.concatenate([np.arange(nc), C2[s] + np.arange(nr - nc)])
+        c = np.arange(nc, dtype=np.int64)[None, :]
+        src = b1[s] + r1[:, None] * C1[s] + c
+        dst = b2[s] + r2[:, None] * C2[s] + c
+        m[dst.ravel()] = src.ravel()
+    assert m.max() <= np.iinfo(np.int32).max
+    return m.astype(np.int32)
+
+
 def _use_step_kernel(dtype, B: int, C: int, RU: int, nrhs: int) -> bool:
     """Fused solve-step kernel policy (mirrors _use_potrf_kernel)."""
     import os
@@ -150,11 +225,13 @@ class SolvePlan:
     layout: str
 
 
-def build_solve_plan(S: SupernodalSymbolic, layout: str) -> SolvePlan:
+def build_solve_plan(S: SupernodalSymbolic, layout: str,
+                     plan=None) -> SolvePlan:
     from .supernodal_device import _pad_to, _R_LADDER, _C_LADDER, _ranges
 
     if layout == "device":
-        plan = S._device_plan
+        if plan is None:
+            plan = S._device_plan
         level_groups = [[(g.R, g.C, list(g.snodes), g.panel_base)
                          for g in glist] for glist in plan.groups]
         lx_size = plan.dev_size
@@ -636,13 +713,17 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     S = F.S
     assert F.ok
     layout = F.layout
+    use_coarse = (layout == "device" and _use_coarse_solve()
+                  and getattr(S, "_clow_cache", None) is not None)
     plans = getattr(S, "_solve_plans", None)
     if plans is None:
         plans = {}
         S._solve_plans = plans
-    if layout not in plans:
-        plans[layout] = build_solve_plan(S, layout)
-    plan = plans[layout]
+    pkey = layout + ("/coarse" if use_coarse else "")
+    if pkey not in plans:
+        plans[pkey] = build_solve_plan(
+            S, layout, plan=_coarse_plan(S) if use_coarse else None)
+    plan = plans[pkey]
     dtype = jnp.float64 if (config.compute_dtype == "float64"
                             and jax.config.jax_enable_x64) else jnp.float32
     b = np.asarray(b, dtype=np.float64)
@@ -650,12 +731,13 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     bb = b.reshape(-1, 1) if one_d else b
     pb = bb[S.perm]
     use_inv = layout == "device" and _use_inv_solve(bb.shape[1])
-    key = (layout, str(dtype), bb.shape[1], use_inv)
+    key = (pkey, str(dtype), bb.shape[1], use_inv,
+           id(S._device_plan) if layout == "device" else 0)
     cache = getattr(S, "_solve_cache", None)
     if cache is None or cache[0] != key:
         if layout == "device":
             import os
-            fplan = S._device_plan
+            fplan = _coarse_plan(S) if use_coarse else S._device_plan
             xmap = _mf_xmap(S, fplan)
             # default CLASSIC: measured on-TPU (n=125k, 1 rhs) the
             # per-class block routing runs 14.8 ms vs 28.7 ms for the
@@ -689,17 +771,35 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     _, fn = S._solve_cache
     if layout == "device":
         pbp = np.concatenate([pb, np.zeros((1, pb.shape[1]))], axis=0)
+        lx_in = F.Lx
+        if use_coarse:
+            # one-time per-factor relayout gather into the coarse layout
+            # (factor-many/solve-many amortizes it; map cached per plan pair)
+            rkey = (id(S._device_plan), id(F.Lx))
+            rc = getattr(F, "_lx_coarse", None)
+            if rc is None or rc[0] != rkey:
+                plan2 = _coarse_plan(S)
+                mkey = (id(S._device_plan), id(plan2))
+                mc = getattr(S, "_relayout", None)
+                if mc is None or mc[0] != mkey:
+                    m = relayout_map(S, S._device_plan, plan2)
+                    gather = jax.jit(lambda lx, mm: jnp.concatenate(
+                        [lx, jnp.zeros(1, lx.dtype)])[mm])
+                    S._relayout = (mkey, jnp.asarray(m), gather)
+                _, mdev, gather = S._relayout
+                F._lx_coarse = (rkey, gather(F.Lx, mdev))
+            lx_in = F._lx_coarse[1]
         if use_inv:
             # inverse panels cached per factor VALUES (device arrays are
             # immutable; a refactorization makes a fresh Lx object)
             wcache = getattr(F, "_winv", None)
-            if wcache is None or wcache[0] != (str(dtype), id(F.Lx)):
-                wv = build_winv(plan, F.Lx, dtype)
-                F._winv = ((str(dtype), id(F.Lx)), wv)
-            yz = np.asarray(fn(F.Lx, jnp.asarray(pbp), F._winv[1]),
+            if wcache is None or wcache[0] != (str(dtype), pkey, id(F.Lx)):
+                wv = build_winv(plan, lx_in, dtype)
+                F._winv = ((str(dtype), pkey, id(F.Lx)), wv)
+            yz = np.asarray(fn(lx_in, jnp.asarray(pbp), F._winv[1]),
                             dtype=np.float64)
         else:
-            yz = np.asarray(fn(F.Lx, jnp.asarray(pbp)), dtype=np.float64)
+            yz = np.asarray(fn(lx_in, jnp.asarray(pbp)), dtype=np.float64)
     else:
         yz = np.asarray(fn(jnp.asarray(F.Lx), jnp.asarray(pb)),
                         dtype=np.float64)

@@ -75,6 +75,7 @@ def dist_factorize_device(A: CSC, S: SupernodalSymbolic, mesh,
         C_low = A.symperm(S.perm).transpose()
         plan = sd.build_plan(S, C_low)
         S._device_plan = plan
+        S._clow_cache = C_low
     dtype = jnp.float64 if (config.compute_dtype == "float64"
                             and jax.config.jax_enable_x64) else jnp.float32
     key = ("dist", id(mesh), str(dtype))

@@ -731,6 +731,7 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
         # symbolic handle's canonical plan so the existing solves and px
         # materialization consume the distributed factor unchanged
         S._device_plan = plan
+        S._clow_cache = C_low
         S._device_fn = None
         S._solve_plans = None
         S._solve_cache = None
