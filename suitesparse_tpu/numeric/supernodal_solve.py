@@ -119,8 +119,11 @@ _SOLVE_R_LADDER = [16, 64, 256, 1024, 4096, 8192]
 _SOLVE_C_LADDER = [16, 64, 256, 512]
 
 
-def _use_coarse_solve() -> bool:
-    """Coarse solve-plan policy (SSTPU_SOLVE_COARSE=auto|1|0)."""
+def _use_coarse_solve(nrhs: int) -> bool:
+    """Coarse solve-plan policy (SSTPU_SOLVE_COARSE=auto|1|0). auto = small
+    RHS counts on TPU: 1-RHS is sequential-step-latency bound (the coarse
+    plan's win); wide RHS blocks already amortize the per-step cost and
+    would only pay the ~2x panel-gather traffic."""
     import os
 
     import jax
@@ -130,7 +133,7 @@ def _use_coarse_solve() -> bool:
         return False
     if mode == "1":
         return True
-    return jax.default_backend() == "tpu"
+    return jax.default_backend() == "tpu" and nrhs <= 8
 
 
 def _coarse_plan(S: SupernodalSymbolic):
@@ -713,7 +716,8 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     S = F.S
     assert F.ok
     layout = F.layout
-    use_coarse = (layout == "device" and _use_coarse_solve()
+    bb_n = 1 if np.asarray(b).ndim == 1 else np.asarray(b).shape[1]
+    use_coarse = (layout == "device" and _use_coarse_solve(bb_n)
                   and getattr(S, "_clow_cache", None) is not None)
     plans = getattr(S, "_solve_plans", None)
     if plans is None:
