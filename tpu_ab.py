@@ -21,14 +21,22 @@ import subprocess
 import sys
 import time
 
+_OFF = {"SSTPU_SOLVE_INV": "0", "SSTPU_SOLVE_COARSE": "0"}
 CONFIGS = {
-    "base": {"SSTPU_PLACE": "mm", "SSTPU_SOLVE_INV": "0"},
-    "place_auto": {"SSTPU_PLACE": "auto", "SSTPU_SOLVE_INV": "0"},
-    "solve_inv": {"SSTPU_PLACE": "mm", "SSTPU_SOLVE_INV": "1"},
-    "place_inv": {"SSTPU_PLACE": "auto", "SSTPU_SOLVE_INV": "1"},
-    "ladder": {"SSTPU_PLACE": "auto", "SSTPU_LADDER": "coarse"},
-    "nd2000": {"SSTPU_PLACE": "auto", "SSTPU_ND_SMALL": "2000"},
-    "bf16": {"SSTPU_PLACE": "auto", "SSTPU_UPDATE_DTYPE": "bfloat16"},
+    "base": {"SSTPU_PLACE": "mm", **_OFF},
+    "place_auto": {"SSTPU_PLACE": "auto", **_OFF},
+    "solve_inv": {"SSTPU_PLACE": "mm", "SSTPU_SOLVE_INV": "1",
+                  "SSTPU_SOLVE_COARSE": "0"},
+    "solve_coarse": {"SSTPU_PLACE": "mm", "SSTPU_SOLVE_INV": "0",
+                     "SSTPU_SOLVE_COARSE": "1"},
+    "solve_both": {"SSTPU_PLACE": "mm", "SSTPU_SOLVE_INV": "1",
+                   "SSTPU_SOLVE_COARSE": "1"},
+    "place_inv": {"SSTPU_PLACE": "auto", "SSTPU_SOLVE_INV": "1",
+                  "SSTPU_SOLVE_COARSE": "1"},
+    "ladder": {"SSTPU_PLACE": "auto", "SSTPU_LADDER": "coarse", **_OFF},
+    "nd2000": {"SSTPU_PLACE": "auto", "SSTPU_ND_SMALL": "2000", **_OFF},
+    "bf16": {"SSTPU_PLACE": "auto", "SSTPU_UPDATE_DTYPE": "bfloat16",
+             **_OFF},
 }
 
 RESULTS = os.path.join(os.path.dirname(__file__), "AB_RESULTS.jsonl")
