@@ -754,7 +754,9 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
                     xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype,
                                         winv=wv)
                     return xcat[xmap]
-            elif os.environ.get("SSTPU_SOLVE_MF2", "0") != "1":
+            elif use_coarse or os.environ.get("SSTPU_SOLVE_MF2", "0") != "1":
+                # (MF2 keeps its own plan keyed to the FINE layout; the
+                # coarse route uses the classic per-group formulation)
                 def fn_mf(lx, pbp):
                     xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype)
                     return xcat[xmap]
