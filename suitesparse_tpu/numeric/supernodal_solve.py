@@ -718,7 +718,12 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     layout = F.layout
     bb_n = 1 if np.asarray(b).ndim == 1 else np.asarray(b).shape[1]
     use_coarse = (layout == "device" and _use_coarse_solve(bb_n)
-                  and getattr(S, "_clow_cache", None) is not None)
+                  and getattr(S, "_clow_cache", None) is not None
+                  # the relayout keeps a SECOND factor copy on device:
+                  # skip at capacity sizes (n=512k: +2 GB factor + 2 GB map)
+                  and S._device_plan.dev_size <= int(float(
+                      __import__("os").environ.get("SSTPU_COARSE_MAX_CELLS",
+                                                   "3e8"))))
     plans = getattr(S, "_solve_plans", None)
     if plans is None:
         plans = {}
