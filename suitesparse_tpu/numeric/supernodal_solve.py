@@ -189,6 +189,80 @@ def relayout_map(S: SupernodalSymbolic, plan1, plan2) -> np.ndarray:
     return m.astype(np.int32)
 
 
+def relayout_fn(S: SupernodalSymbolic, plan1, plan2):
+    """Device-side relayout Lx1 -> Lx2 with STATIC slices only (no index-map
+    H2D: a dev2-sized gather map is ~400 MB at n=125k — 10+ minutes through
+    the axon relay's 0.6 MB/s H2D path).
+
+    For each (source group g1 -> target group g2) class, slots share
+    (R1, C1) and (R2, C2); with the GAPPED row convention (pivot rows at
+    [0, nc), zeros at [nc, C), below rows at [C, C + nr - nc)) the row
+    transform is shape-static: rows [0, C1) keep (gap zeros included, then
+    zero-extended to C2 >= C1... or truncated when C2 < C1, legal because
+    rows [min(C1,C2), C1) are gap zeros: nc <= min(C1, C2) for every slot
+    by construction), and rows [C1, R1) move to [C2, ...). Only tiny slot
+    index vectors enter the program as constants."""
+    import jax
+    import jax.numpy as jnp
+
+    loc1 = {}
+    for d, gl in enumerate(plan1.groups):
+        for gi, g in enumerate(gl):
+            for b, s in enumerate(g.snodes):
+                loc1[int(s)] = (d, gi, b)
+    # per plan2 group: class map (d1, gi1) -> (src_slots, dst_slots)
+    classes = []
+    for gl in plan2.groups:
+        for g2 in gl:
+            cl = {}
+            for b2, s in enumerate(g2.snodes):
+                d1, gi1, b1 = loc1[int(s)]
+                cl.setdefault((d1, gi1), ([], []))
+                cl[(d1, gi1)][0].append(b1)
+                cl[(d1, gi1)][1].append(b2)
+            classes.append((g2, sorted(cl.items())))
+
+    g1_meta = {}
+    for d, gl in enumerate(plan1.groups):
+        for gi, g in enumerate(gl):
+            g1_meta[(d, gi)] = g
+
+    def fn(lx):
+        out = []
+        for g2, cl in classes:
+            B2, R2, C2 = g2.B, g2.R, g2.C
+            buf = jnp.zeros((B2, R2, C2), dtype=lx.dtype)
+            for (k1, (sb, db)) in cl:
+                g1 = g1_meta[k1]
+                R1, C1 = g1.R, g1.C
+                src = jax.lax.dynamic_slice_in_dim(
+                    lx, g1.panel_base, g1.B * R1 * C1)
+                (src,) = jax.lax.optimization_barrier((src,))
+                P = src.reshape(g1.B, R1, C1)[np.asarray(sb)]
+                top = P[:, :min(C1, C2), :]
+                below = P[:, C1:, :]
+                pad_mid = C2 - top.shape[1]
+                pad_bot = R2 - C2 - below.shape[1]
+                parts = [top]
+                if pad_mid:
+                    parts.append(jnp.zeros((P.shape[0], pad_mid, C1),
+                                           dtype=lx.dtype))
+                parts.append(below)
+                if pad_bot:
+                    parts.append(jnp.zeros((P.shape[0], pad_bot, C1),
+                                           dtype=lx.dtype))
+                blk = jnp.concatenate(parts, axis=1)
+                if C2 > C1:
+                    blk = jnp.pad(blk, ((0, 0), (0, 0), (0, C2 - C1)))
+                elif C2 < C1:
+                    blk = blk[:, :, :C2]
+                buf = buf.at[np.asarray(db)].set(blk, unique_indices=True)
+            out.append(buf.reshape(-1))
+        return jnp.concatenate(out)
+
+    return fn
+
+
 def _use_step_kernel(dtype, B: int, C: int, RU: int, nrhs: int) -> bool:
     """Fused solve-step kernel policy (mirrors _use_potrf_kernel)."""
     import os
@@ -793,12 +867,12 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
                 mkey = (id(S._device_plan), id(plan2))
                 mc = getattr(S, "_relayout", None)
                 if mc is None or mc[0] != mkey:
-                    m = relayout_map(S, S._device_plan, plan2)
-                    gather = jax.jit(lambda lx, mm: jnp.concatenate(
-                        [lx, jnp.zeros(1, lx.dtype)])[mm])
-                    S._relayout = (mkey, jnp.asarray(m), gather)
-                _, mdev, gather = S._relayout
-                F._lx_coarse = (rkey, gather(F.Lx, mdev))
+                    # static-slice device relayout — NOT a gather map (a
+                    # dev2-sized map is ~400 MB of H2D at n=125k)
+                    S._relayout = (mkey,
+                                   jax.jit(relayout_fn(S, S._device_plan,
+                                                       plan2)))
+                F._lx_coarse = (rkey, S._relayout[1](F.Lx))
             lx_in = F._lx_coarse[1]
         if use_inv:
             # inverse panels cached per factor VALUES (device arrays are
