@@ -115,15 +115,15 @@ def main() -> None:
     resid = sst.residual_norm(A, x, b)
     assert resid < 1e-2, f"residual {resid} out of range"  # fp32 factor
 
-    # solve throughput (multifrontal solve, same pipelined methodology)
-    _, sfn = S._solve_cache
-    pbp = jnp.asarray(np.concatenate([b[S.perm].reshape(-1, 1),
-                                      np.zeros((1, 1))]))
-    _ = float(jnp.sum(sfn(F.Lx, pbp)))
+    # solve throughput (multifrontal solve, same pipelined methodology):
+    # solve_dispatch returns the EXACT jitted program + device args of the
+    # active mode (classic / inverse-panel / coarse-plan layouts differ)
+    sfn, sargs = supernodal_solve.solve_dispatch(F, b, cfg)
+    _ = float(jnp.sum(sfn(*sargs)))
     t_solve = float("inf")
     for _trial in range(2):
         t0 = time.time()
-        souts = [sfn(F.Lx, pbp) for _ in range(K)]
+        souts = [sfn(*sargs) for _ in range(K)]
         _ = float(jnp.sum(sum(jnp.sum(o) for o in souts)))
         t_solve = min(t_solve, (time.time() - t0) / K)
 
@@ -132,13 +132,12 @@ def main() -> None:
     B64 = np.tile(b.reshape(-1, 1), (1, NR)) * (1.0 + np.arange(NR) / NR)
     x64 = supernodal_solve.solve_device(F, B64, cfg)     # compile + gate
     assert sst.residual_norm(A, x64[:, 0], B64[:, 0]) < 1e-2
-    _, sfn64 = S._solve_cache
-    pbp64 = jnp.asarray(np.concatenate([B64[S.perm], np.zeros((1, NR))]))
-    _ = float(jnp.sum(sfn64(F.Lx, pbp64)))
+    sfn64, sargs64 = supernodal_solve.solve_dispatch(F, B64, cfg)
+    _ = float(jnp.sum(sfn64(*sargs64)))
     t_solve64 = float("inf")
     for _trial in range(2):
         t0 = time.time()
-        souts = [sfn64(F.Lx, pbp64) for _ in range(K)]
+        souts = [sfn64(*sargs64) for _ in range(K)]
         _ = float(jnp.sum(sum(jnp.sum(o) for o in souts)))
         t_solve64 = min(t_solve64, (time.time() - t0) / K)
 

@@ -31,7 +31,8 @@ from ..config import Config, DEFAULT
 from ..symbolic.supernodes import SupernodalSymbolic
 from .supernodal import SupernodalFactor
 
-__all__ = ["build_solve_plan", "solve_device", "solve_refined"]
+__all__ = ["build_solve_plan", "solve_device", "solve_dispatch",
+           "solve_refined"]
 
 
 def _use_inv_solve(nrhs: int) -> bool:
@@ -782,7 +783,8 @@ def solve_refined(F: SupernodalFactor, A, b: np.ndarray, iters: int = 2,
 
 
 def solve_device(F: SupernodalFactor, b: np.ndarray,
-                 config: Config = DEFAULT) -> np.ndarray:
+                 config: Config = DEFAULT,
+                 _dispatch_only: bool = False) -> np.ndarray:
     """x = A \\ b via the device supernodal solves (handles permutation)."""
     import jax
     import jax.numpy as jnp
@@ -881,13 +883,22 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
             if wcache is None or wcache[0] != (str(dtype), pkey, id(F.Lx)):
                 wv = build_winv(plan, lx_in, dtype)
                 F._winv = ((str(dtype), pkey, id(F.Lx)), wv)
-            yz = np.asarray(fn(lx_in, jnp.asarray(pbp), F._winv[1]),
-                            dtype=np.float64)
+            args = (lx_in, jnp.asarray(pbp), F._winv[1])
         else:
-            yz = np.asarray(fn(lx_in, jnp.asarray(pbp)), dtype=np.float64)
+            args = (lx_in, jnp.asarray(pbp))
     else:
-        yz = np.asarray(fn(jnp.asarray(F.Lx), jnp.asarray(pb)),
-                        dtype=np.float64)
+        args = (jnp.asarray(F.Lx), jnp.asarray(pb))
+    if _dispatch_only:
+        return fn, args
+    yz = np.asarray(fn(*args), dtype=np.float64)
     x = np.empty_like(yz[:S.n])
     x[S.perm] = yz[:S.n]
     return x[:, 0] if one_d else x
+
+
+def solve_dispatch(F: SupernodalFactor, b: np.ndarray,
+                   config: Config = DEFAULT):
+    """(jitted_fn, device_args) exactly as solve_device would run them —
+    the pipelined-benchmark surface (one warm call populates every cache;
+    per-call host work is excluded from what the caller times)."""
+    return solve_device(F, b, config, _dispatch_only=True)
