@@ -902,3 +902,29 @@ def solve_dispatch(F: SupernodalFactor, b: np.ndarray,
     the pipelined-benchmark surface (one warm call populates every cache;
     per-call host work is excluded from what the caller times)."""
     return solve_device(F, b, config, _dispatch_only=True)
+
+
+def solve_report(S: SupernodalSymbolic, nrhs: int = 1,
+                 bytes_per_elt: int = 4) -> str:
+    """Static latency accounting for the multifrontal solve (the solve-side
+    analog of ``supernodal_device.roofline_report``): per mode, the number
+    of SEQUENTIAL group steps (the 1-RHS latency driver — measured ~2 us
+    dispatch/DMA floor per step on TPU), panel bytes streamed per sweep,
+    and the bandwidth floor those bytes imply at v5e HBM (~800 GB/s)."""
+    lines = [f"mode    steps/sweep  panel MB/sweep  HBM floor (2 sweeps)"]
+    plans = {"fine": getattr(S, "_device_plan", None)}
+    p2 = getattr(S, "_solve_coarse_plan", None)
+    if p2 is None and getattr(S, "_clow_cache", None) is not None:
+        p2 = _coarse_plan(S)
+    if p2 is not None:
+        plans["coarse"] = p2
+    for name, plan in plans.items():
+        if plan is None:
+            continue
+        steps = sum(len(gl) for gl in plan.groups)
+        cells = sum(g.B * g.R * g.C for gl in plan.groups for g in gl)
+        mb = cells * bytes_per_elt / 1e6
+        floor_ms = 2 * mb / 800e3 * 1e3
+        lines.append(f"{name:7s} {steps:10d} {mb:14.1f} {floor_ms:10.2f} ms"
+                     f"  (+~{2 * steps * 2e-3:.1f} ms step latency)")
+    return "\n".join(lines)
