@@ -420,3 +420,38 @@ def transpose(nrow: int, ncol: int, indptr: np.ndarray,
     dll.sstpu_transpose(nrow, ncol, _ptr_i64(indptr), _ptr_i64(indices),
                         _ptr_i64(outp), _ptr_i64(outi), _ptr_i64(outpos))
     return outp, outi, outpos
+
+
+def _tri_call(fname: str, n: int, indptr, indices, data, x) -> None:
+    dll = _load()
+    assert dll is not None and hasattr(dll, fname)
+    getattr(dll, fname)(n, _ptr_i64(indptr), _ptr_i64(indices),
+                        _ptr_f64(data), _ptr_f64(x))
+
+
+def lsolve(n, indptr, indices, data, x) -> None:
+    """In-place x = L \\ x (diag first per column; cs_lsolve analog)."""
+    _tri_call("sstpu_lsolve", n, indptr, indices, data, x)
+
+
+def usolve(n, indptr, indices, data, x) -> None:
+    """In-place x = U \\ x (diag last per column; cs_usolve analog)."""
+    _tri_call("sstpu_usolve", n, indptr, indices, data, x)
+
+
+def ltsolve(n, indptr, indices, data, x) -> None:
+    """In-place x = L' \\ x."""
+    _tri_call("sstpu_ltsolve", n, indptr, indices, data, x)
+
+
+def utsolve(n, indptr, indices, data, x) -> None:
+    """In-place x = U' \\ x."""
+    _tri_call("sstpu_utsolve", n, indptr, indices, data, x)
+
+
+def offupdate(k1: int, k2: int, indptr, indices, data, x) -> None:
+    """x[Offi] -= Offx * x[j] for j in [k1, k2) (klu_solve Off loop)."""
+    dll = _load()
+    assert dll is not None and hasattr(dll, "sstpu_offupdate")
+    dll.sstpu_offupdate(k1, k2, _ptr_i64(indptr), _ptr_i64(indices),
+                        _ptr_f64(data), _ptr_f64(x))

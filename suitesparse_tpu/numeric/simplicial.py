@@ -195,11 +195,25 @@ def ldl_up(A: CSC, S: SymbolicChol, dbound: float = 0.0) -> Factor:
 
 # ---------------- triangular solves (host CSC kernels) ----------------
 
+def _native_tri(kind: str, M: CSC, x: np.ndarray) -> bool:
+    """Run the native host sweep when eligible (real f64, single RHS)."""
+    if x.ndim != 1 or np.iscomplexobj(x) or np.iscomplexobj(M.data):
+        return False
+    from .. import native
+    if not native.available():
+        return False
+    getattr(native, kind)(M.ncol, M.indptr, M.indices,
+                          np.ascontiguousarray(M.data, dtype=np.float64), x)
+    return True
+
+
 def lsolve(L: CSC, b: np.ndarray) -> np.ndarray:
     """x = L \\ b for lower-triangular CSC L with diagonal entry first per column
     (cs_lsolve analog). Works for multiple RHS (b 2-D)."""
     cplx = np.iscomplexobj(L.data) or np.iscomplexobj(b)
     x = np.array(b, dtype=np.complex128 if cplx else np.float64, copy=True)
+    if _native_tri("lsolve", L, x):
+        return x
     Lp, Li, Lx = L.indptr, L.indices, L.data
     for j in range(L.ncol):
         p0 = Lp[j]
@@ -219,6 +233,8 @@ def ltsolve(L: CSC, b: np.ndarray) -> np.ndarray:
     for complex factors."""
     cplx = np.iscomplexobj(L.data) or np.iscomplexobj(b)
     x = np.array(b, dtype=np.complex128 if cplx else np.float64, copy=True)
+    if not cplx and _native_tri("ltsolve", L, x):
+        return x
     Lp, Li, Lx = L.indptr, L.indices, np.conj(L.data) if cplx else L.data
     for j in range(L.ncol - 1, -1, -1):
         p0, p1 = Lp[j], Lp[j + 1]
@@ -237,6 +253,8 @@ def usolve(U: CSC, b: np.ndarray) -> np.ndarray:
     each column (cs_usolve analog)."""
     cplx = np.iscomplexobj(U.data) or np.iscomplexobj(b)
     x = np.array(b, dtype=np.complex128 if cplx else np.float64, copy=True)
+    if _native_tri("usolve", U, x):
+        return x
     Up, Ui, Ux = U.indptr, U.indices, U.data
     for j in range(U.ncol - 1, -1, -1):
         p0, p1 = Up[j], Up[j + 1]
@@ -254,6 +272,8 @@ def utsolve(U: CSC, b: np.ndarray) -> np.ndarray:
     """x = U' \\ b (conjugate transpose for complex factors)."""
     cplx = np.iscomplexobj(U.data) or np.iscomplexobj(b)
     x = np.array(b, dtype=np.complex128 if cplx else np.float64, copy=True)
+    if not cplx and _native_tri("utsolve", U, x):
+        return x
     Up, Ui, Ux = U.indptr, U.indices, np.conj(U.data) if cplx else U.data
     for j in range(U.ncol):
         p0, p1 = Up[j], Up[j + 1]
