@@ -498,12 +498,24 @@ def solve_lu(N: LUNumeric, b: np.ndarray) -> np.ndarray:
             y[k1] = y[k1] / N.diag[k1]
         else:
             blu = N.blocks[k]
-            Lb = CSC(nk, nk, blu.Lp, blu.Li, blu.Lx, 0)
-            Ub = CSC(nk, nk, blu.Up, blu.Ui, blu.Ux, 0)
-            y[k1:k2] = usolve(Ub, lsolve(Lb, y[k1:k2]))
+            from .. import native
+            if (y.ndim == 1 and not cplx
+                    and not np.iscomplexobj(blu.Lx)
+                    and native.available()):
+                # native sweeps straight on the factor arrays — no CSC
+                # wrapper churn on the per-solve path (klu_solve shape)
+                yk = np.ascontiguousarray(y[k1:k2])
+                native.lsolve(nk, blu.Lp, blu.Li, blu.Lx, yk)
+                native.usolve(nk, blu.Up, blu.Ui, blu.Ux, yk)
+                y[k1:k2] = yk
+            else:
+                Lb = CSC(nk, nk, blu.Lp, blu.Li, blu.Lx, 0)
+                Ub = CSC(nk, nk, blu.Up, blu.Ui, blu.Ux, 0)
+                y[k1:k2] = usolve(Ub, lsolve(Lb, y[k1:k2]))
         # off-diagonal updates to earlier blocks
-        if (Offp[k2] > Offp[k1] and y.ndim == 1 and not cplx
-                and not np.iscomplexobj(Offx)):
+        if Offp[k2] == Offp[k1]:
+            continue  # no off entries in this block's columns
+        if (y.ndim == 1 and not cplx and not np.iscomplexobj(Offx)):
             from .. import native
             if native.available():
                 native.offupdate(k1, k2, Offp, Offi,
