@@ -179,3 +179,46 @@ def test_native_symperm_transpose_match_oracle():
         T = B.transpose()
         T.check()
         assert np.allclose(T.to_dense(), B.to_dense().T)
+
+
+def test_native_host_trisolves_match_python():
+    """hsolve.cc sweeps (lsolve/usolve/ltsolve/utsolve + offupdate) must be
+    bit-compatible with the Python CSC kernels they replace on the
+    real-1-RHS fast path."""
+    import suitesparse_tpu.native as native
+    from suitesparse_tpu.numeric import simplicial
+    from suitesparse_tpu.io import fixtures
+    from suitesparse_tpu.sparse import CSC
+
+    if not native.available():
+        return
+    rng = np.random.default_rng(11)
+    A = fixtures.banded_spd(300, 7, seed=2)
+    import suitesparse_tpu as sst
+    F = sst.factorize(A, sst.analyze(A))
+    b = rng.standard_normal(300)
+    orig = native.available
+    try:
+        native.available = lambda: False
+        # drive through the public solve and compare whole-path results
+        x_py = sst.solve(F, b)
+    finally:
+        native.available = orig
+    x_nat = sst.solve(F, b)
+    assert np.allclose(x_py, x_nat, rtol=0, atol=1e-12)
+
+    # offupdate parity on a random off block
+    n = 50
+    r = rng.integers(0, 30, 60)
+    c = rng.integers(30, n, 60)
+    v = rng.standard_normal(60)
+    from suitesparse_tpu.sparse import from_triplets
+    Off = from_triplets(n, n, r, c, v)
+    y1 = rng.standard_normal(n)
+    y2 = y1.copy()
+    native.offupdate(30, n, Off.indptr, Off.indices,
+                     np.ascontiguousarray(Off.data, dtype=np.float64), y1)
+    for j in range(30, n):
+        lo, hi = Off.indptr[j], Off.indptr[j + 1]
+        y2[Off.indices[lo:hi]] -= Off.data[lo:hi] * y2[j]
+    assert np.allclose(y1, y2, atol=1e-14)
