@@ -493,7 +493,10 @@ def _augment_pairs(plan: "Plan") -> None:
 
     Selection is by a measured-constant cost model; SSTPU_PLACE forces one
     (auto | mm | gather | scan)."""
-    mode = os.environ.get("SSTPU_PLACE", "auto")
+    # DEFAULT mm until the strategy engine is TPU-A/B-validated (tpu_ab.py
+    # place_auto config): gather/scan landed while the tunnel was down and
+    # have never run on real hardware — the driver's bench must not gamble
+    mode = os.environ.get("SSTPU_PLACE", "mm")
     gid_B = {}
     for d, glist in enumerate(plan.groups):
         for gi, g in enumerate(glist):

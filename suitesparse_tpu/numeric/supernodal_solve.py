@@ -48,7 +48,9 @@ def _use_inv_solve(nrhs: int) -> bool:
 
     import jax
 
-    mode = os.environ.get("SSTPU_SOLVE_INV", "auto")
+    # default OFF until TPU-A/B-validated (tpu_ab.py solve_inv config);
+    # "auto" enables for small RHS counts on TPU
+    mode = os.environ.get("SSTPU_SOLVE_INV", "0")
     if mode == "0":
         return False
     if mode == "1":
@@ -129,7 +131,9 @@ def _use_coarse_solve(nrhs: int) -> bool:
 
     import jax
 
-    mode = os.environ.get("SSTPU_SOLVE_COARSE", "auto")
+    # default OFF until TPU-A/B-validated (tpu_ab.py solve_coarse config);
+    # "auto" enables for small RHS counts on TPU
+    mode = os.environ.get("SSTPU_SOLVE_COARSE", "0")
     if mode == "0":
         return False
     if mode == "1":
