@@ -35,13 +35,11 @@ def study(nx: int):
     A = fixtures.laplacian_3d(nx)
     S = analyze_supernodal(A, amd_order(A))
     C_low = A.symperm(S.perm).transpose()
-    base_R, base_C = sd._R_LADDER, sd._C_LADDER
+    base_R, base_C = list(sd._R_LADDER), list(sd._C_LADDER)
     for name, (RL, CL) in LADDERS.items():
-        sd._R_LADDER[:] = RL + [base_R[-1]] * 0
         # lists are module-level: swap contents in place
-        del sd._R_LADDER[len(RL):]
+        sd._R_LADDER[:] = RL
         sd._C_LADDER[:] = CL
-        del sd._C_LADDER[len(CL):]
         t = time.perf_counter()
         plan = sd.build_plan(S, C_low)
         dt = time.perf_counter() - t
@@ -57,8 +55,6 @@ def study(nx: int):
         print(f"{name:9s} shapes={len(shapes):4d} groups={groups:4d} "
               f"cells={cells/1e6:8.1f}M syrkMF={syrk/1e9:9.2f}G "
               f"plan_s={dt:.2f}")
-        sd._R_LADDER[:] = base_R
-        sd._C_LADDER[:] = CL  # restored next loop head; final restore below
     sd._R_LADDER[:] = base_R
     sd._C_LADDER[:] = base_C
 

@@ -35,6 +35,23 @@ __all__ = ["build_solve_plan", "solve_device", "solve_dispatch",
            "solve_refined"]
 
 
+def _mode_policy(env_var: str, nrhs: int) -> bool:
+    """Shared env policy for the solve fast-path modes: "0" off, "1" on,
+    "auto" = small RHS counts on TPU (1-RHS is sequential-step-latency
+    bound; wide RHS blocks already amortize the per-step cost). Defaults
+    OFF until TPU-A/B-validated (tpu_ab.py opts each mode in)."""
+    import os
+
+    import jax
+
+    mode = os.environ.get(env_var, "0")
+    if mode == "0":
+        return False
+    if mode == "1":
+        return True
+    return jax.default_backend() == "tpu" and nrhs <= 8
+
+
 def _use_inv_solve(nrhs: int) -> bool:
     """Inverse-panel solve policy (SSTPU_SOLVE_INV=auto|1|0).
 
@@ -42,20 +59,9 @@ def _use_inv_solve(nrhs: int) -> bool:
     first solve, cached on the factor), every sequential in-sweep trisolve
     becomes ONE MXU matmul — the same partitioned-inverse trick GPU trisolve
     libraries use, applied at supernode-group granularity. Targets the
-    latency-bound single-RHS case (multi-RHS already amortizes the per-step
-    cost); refinement restores fp64-class residuals as usual."""
-    import os
-
-    import jax
-
-    # default OFF until TPU-A/B-validated (tpu_ab.py solve_inv config);
-    # "auto" enables for small RHS counts on TPU
-    mode = os.environ.get("SSTPU_SOLVE_INV", "0")
-    if mode == "0":
-        return False
-    if mode == "1":
-        return True
-    return jax.default_backend() == "tpu" and nrhs <= 8
+    latency-bound single-RHS case; refinement restores fp64-class residuals
+    as usual."""
+    return _mode_policy("SSTPU_SOLVE_INV", nrhs)
 
 
 def build_winv(splan: "SolvePlan", Lx, dtype):
@@ -123,22 +129,9 @@ _SOLVE_C_LADDER = [16, 64, 256, 512]
 
 
 def _use_coarse_solve(nrhs: int) -> bool:
-    """Coarse solve-plan policy (SSTPU_SOLVE_COARSE=auto|1|0). auto = small
-    RHS counts on TPU: 1-RHS is sequential-step-latency bound (the coarse
-    plan's win); wide RHS blocks already amortize the per-step cost and
-    would only pay the ~2x panel-gather traffic."""
-    import os
-
-    import jax
-
-    # default OFF until TPU-A/B-validated (tpu_ab.py solve_coarse config);
-    # "auto" enables for small RHS counts on TPU
-    mode = os.environ.get("SSTPU_SOLVE_COARSE", "0")
-    if mode == "0":
-        return False
-    if mode == "1":
-        return True
-    return jax.default_backend() == "tpu" and nrhs <= 8
+    """Coarse solve-plan policy (SSTPU_SOLVE_COARSE=auto|1|0): pow4
+    re-bucketing cuts sequential steps ~3.6x at ~2x panel-gather traffic."""
+    return _mode_policy("SSTPU_SOLVE_COARSE", nrhs)
 
 
 def _coarse_plan(S: SupernodalSymbolic):
@@ -375,12 +368,8 @@ def _solve_fn(plan: SolvePlan, Lx, b, dtype):
 
     def panels_of(g: SolveGroup):
         if plan.layout == "device":
-            sl = jax.lax.dynamic_slice_in_dim(
-                Lxp, g.panel_base, g.B * g.R * g.C)
-            (sl,) = jax.lax.optimization_barrier((sl,))  # see _mf_solve_fn
-            P = sl.reshape(g.B, g.R, g.C)
-        else:
-            P = Lxp[g.panel_src].reshape(g.B, g.R, g.C)
+            return _group_panels(Lxp, g, dtype)
+        P = Lxp[g.panel_src].reshape(g.B, g.R, g.C)
         L11 = P[:, :g.C, :]
         ridx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 1)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (g.B, g.C, g.C), 2)
@@ -865,29 +854,32 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
         lx_in = F.Lx
         if use_coarse:
             # one-time per-factor relayout gather into the coarse layout
-            # (factor-many/solve-many amortizes it; map cached per plan pair)
-            rkey = (id(S._device_plan), id(F.Lx))
+            # (factor-many/solve-many amortizes it). Cache keys hold STRONG
+            # references compared with `is` — id() of a freed Plan/array can
+            # recycle (review r3)
             rc = getattr(F, "_lx_coarse", None)
-            if rc is None or rc[0] != rkey:
+            if rc is None or rc[0] is not S._device_plan \
+                    or rc[1] is not F.Lx:
                 plan2 = _coarse_plan(S)
-                mkey = (id(S._device_plan), id(plan2))
                 mc = getattr(S, "_relayout", None)
-                if mc is None or mc[0] != mkey:
+                if mc is None or mc[0] is not S._device_plan:
                     # static-slice device relayout — NOT a gather map (a
                     # dev2-sized map is ~400 MB of H2D at n=125k)
-                    S._relayout = (mkey,
+                    S._relayout = (S._device_plan,
                                    jax.jit(relayout_fn(S, S._device_plan,
                                                        plan2)))
-                F._lx_coarse = (rkey, S._relayout[1](F.Lx))
-            lx_in = F._lx_coarse[1]
+                F._lx_coarse = (S._device_plan, F.Lx,
+                                S._relayout[1](F.Lx))
+            lx_in = F._lx_coarse[2]
         if use_inv:
             # inverse panels cached per factor VALUES (device arrays are
             # immutable; a refactorization makes a fresh Lx object)
             wcache = getattr(F, "_winv", None)
-            if wcache is None or wcache[0] != (str(dtype), pkey, id(F.Lx)):
+            if (wcache is None or wcache[0] != (str(dtype), pkey)
+                    or wcache[1] is not F.Lx):
                 wv = build_winv(plan, lx_in, dtype)
-                F._winv = ((str(dtype), pkey, id(F.Lx)), wv)
-            args = (lx_in, jnp.asarray(pbp), F._winv[1])
+                F._winv = ((str(dtype), pkey), F.Lx, wv)
+            args = (lx_in, jnp.asarray(pbp), F._winv[2])
         else:
             args = (lx_in, jnp.asarray(pbp))
     else:

@@ -740,6 +740,9 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
         # the distributed-solve program closes over the OLD plan's sharded
         # leaf args — invalidate it with the rest (ADVICE r2)
         S._dist2_solve = None
+        # the coarse-solve relayout program slices the OLD plan's panel
+        # bases; id() of a freed Plan can recycle, so clear it explicitly
+        S._relayout = None
         prec = {"highest": jax.lax.Precision.HIGHEST,
                 "high": jax.lax.Precision.HIGH,
                 "default": jax.lax.Precision.DEFAULT}[config.precision]

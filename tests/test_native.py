@@ -191,7 +191,8 @@ def test_native_host_trisolves_match_python():
     from suitesparse_tpu.sparse import CSC
 
     if not native.available():
-        return
+        import pytest
+        pytest.skip("native library unavailable")
     rng = np.random.default_rng(11)
     A = fixtures.banded_spd(300, 7, seed=2)
     import suitesparse_tpu as sst

@@ -347,3 +347,25 @@ def test_coarse_solve_after_distributed_swap(monkeypatch):
     Fd = dist_factorize_v2(A, S, mesh)
     xd = supernodal_solve.solve_device(Fd, b)
     assert residual_norm(A, xd, b) < 1e-5
+
+
+def test_relayout_fn_matches_map_oracle():
+    """The static-slice device relayout must equal the explicit gather-map
+    oracle bit-for-bit (the map is the simple spec; the slice program is
+    what ships — a ladder edit that breaks the g1-within-g2 nesting
+    invariant must fail HERE, not as an unlocalized residual)."""
+    import jax.numpy as jnp
+    from suitesparse_tpu.numeric import supernodal_device as sd
+    from suitesparse_tpu.numeric import supernodal_solve as ssv
+
+    A = fixtures.laplacian_3d(8)
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal_device.factorize_device(A, S)
+    plan1 = S._device_plan
+    plan2 = sd.build_plan(S, S._clow_cache,
+                          ladders=(ssv._SOLVE_R_LADDER,
+                                   ssv._SOLVE_C_LADDER))
+    m = ssv.relayout_map(S, plan1, plan2)
+    ref = np.concatenate([np.asarray(F.Lx), [0.0]])[m]
+    got = np.asarray(ssv.relayout_fn(S, plan1, plan2)(F.Lx))
+    assert np.array_equal(got, ref.astype(got.dtype))

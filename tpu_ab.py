@@ -58,8 +58,16 @@ def run(name: str, extra_env: dict) -> bool:
     env = dict(os.environ)
     env.update(extra_env)
     t = time.time()
-    p = subprocess.run([sys.executable, "bench.py"], capture_output=True,
-                       text=True, env=env, timeout=3600)
+    try:
+        p = subprocess.run([sys.executable, "bench.py"], capture_output=True,
+                           text=True, env=env, timeout=3600)
+    except subprocess.TimeoutExpired:
+        with open(RESULTS, "a") as f:
+            f.write(json.dumps({"config": name, "env": extra_env,
+                                "rc": "timeout",
+                                "wall_s": round(time.time() - t, 1)}) + "\n")
+        print(f"[{name}] TIMEOUT")
+        return False
     line = None
     for ln in reversed(p.stdout.splitlines()):
         if ln.startswith("{"):
