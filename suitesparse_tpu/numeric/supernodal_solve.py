@@ -812,7 +812,10 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     key = (pkey, str(dtype), bb.shape[1], use_inv,
            id(S._device_plan) if layout == "device" else 0)
     cache = getattr(S, "_solve_cache", None)
-    if cache is None or cache[0] != key:
+    if not isinstance(cache, dict):
+        cache = {}
+        S._solve_cache = cache
+    if key not in cache:
         if layout == "device":
             import os
             fplan = _coarse_plan(S) if use_coarse else S._device_plan
@@ -847,8 +850,10 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
             fn = jax.jit(fn_mf)
         else:
             fn = jax.jit(lambda lx, bb2: _solve_fn(plan, lx, bb2, dtype))
-        S._solve_cache = (key, fn)
-    _, fn = S._solve_cache
+        # pin the plan whose id() is in the key: alive-while-cached means
+        # the id can never be recycled into a false hit
+        cache[key] = (fn, S._device_plan if layout == "device" else None)
+    fn = cache[key][0]
     if layout == "device":
         pbp = np.concatenate([pb, np.zeros((1, pb.shape[1]))], axis=0)
         lx_in = F.Lx
