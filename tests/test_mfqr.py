@@ -72,3 +72,36 @@ def test_mfqr_square_solve():
     b = np.ones(50)
     x = mfqr.mfqrsol(A, b, CFG64)
     assert np.allclose(D @ x, b, atol=1e-9)
+
+
+def test_qrsol_pattern_cache_reuses_symbolic():
+    """One-shot qrsol caches the QR symbolic per pattern: same-pattern
+    repeat calls must reuse it (the re-analysis + re-compile per call cost
+    ~30 s at m=6k), and VALUE changes must still flow through."""
+    import suitesparse_tpu as sst
+    from suitesparse_tpu.numeric import mfqr_device
+    from suitesparse_tpu.sparse import from_triplets
+
+    rng = np.random.default_rng(2)
+    m, n = 800, 200   # m*n above the device-path threshold (1<<16)
+    ri = rng.integers(0, m, n * 4)
+    ci = np.repeat(np.arange(n), 4)
+    vi = rng.standard_normal(n * 4)
+    ri = np.concatenate([ri, np.arange(n)])
+    ci = np.concatenate([ci, np.arange(n)])
+    vi = np.concatenate([vi, np.full(n, 5.0)])
+    A = from_triplets(m, n, ri, ci, vi)
+    b = rng.standard_normal(m)
+    mfqr_device._SQ_CACHE.clear()
+    x1 = sst.qrsol(A, b)
+    assert len(mfqr_device._SQ_CACHE) == 1
+    sq_first = next(iter(mfqr_device._SQ_CACHE.values()))
+    x2 = sst.qrsol(A, b)
+    assert next(iter(mfqr_device._SQ_CACHE.values())) is sq_first
+    assert np.allclose(x1, x2)
+    # new values, same pattern: symbolic reused, answer changes correctly
+    A2 = from_triplets(m, n, ri, ci, vi * 2.0)
+    x3 = sst.qrsol(A2, b)
+    assert next(iter(mfqr_device._SQ_CACHE.values())) is sq_first
+    Ad = A2.to_dense()
+    assert np.abs(Ad.T @ (b - Ad @ x3)).max() < 1e-3
