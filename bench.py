@@ -190,6 +190,13 @@ def main() -> None:
     if panel_eff is not None:
         extra = {"panel_dense_gflops": round(dense_gflops, 1),
                  "panel_efficiency": round(panel_eff, 3)}
+    # active solve-mode fingerprint (the A/B knobs change the program)
+    extra["solve_mode"] = "+".join(
+        [m for m, v in (("inv", os.environ.get("SSTPU_SOLVE_INV", "0")),
+                        ("coarse", os.environ.get("SSTPU_SOLVE_COARSE", "0")))
+         if v != "0"] or ["classic"])
+    extra["place_mode"] = os.environ.get("SSTPU_PLACE", "mm")
+    extra["solve_groups"] = sum(len(gl) for gl in S._device_plan.groups)
     # capacity records measured by demos/capacity.py (BASELINE-class sizes
     # whose cold compile is too slow to re-pay on every driver run)
     cap_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

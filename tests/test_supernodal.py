@@ -369,3 +369,23 @@ def test_relayout_fn_matches_map_oracle():
     ref = np.concatenate([np.asarray(F.Lx), [0.0]])[m]
     got = np.asarray(ssv.relayout_fn(S, plan1, plan2)(F.Lx))
     assert np.array_equal(got, ref.astype(got.dtype))
+
+
+def test_coarse_inv_solve_after_segmented_factorize(monkeypatch):
+    """Memory-bounded segmented factorize composed with the coarse+inverse
+    solve modes: the relayout/W caches must key correctly off the segmented
+    factor's Lx too."""
+    monkeypatch.setenv("SSTPU_SEGMENT", "1")
+    monkeypatch.setenv("SSTPU_SEG_CELLS", "20000")
+    monkeypatch.setenv("SSTPU_SOLVE_COARSE", "1")
+    monkeypatch.setenv("SSTPU_SOLVE_INV", "1")
+    from suitesparse_tpu.numeric import supernodal_device, supernodal_solve
+
+    A = fixtures.laplacian_3d(8)
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal_device.factorize_device(A, S)
+    b = 1.0 + np.arange(A.ncol) / A.ncol
+    x = supernodal_solve.solve_device(F, b)
+    assert residual_norm(A, x, b) < 1e-5
+    assert residual_norm(A, supernodal_solve.solve_refined(F, A, b),
+                         b) < 1e-14
