@@ -20,6 +20,7 @@
 #include <chrono>
 #include <cstdio>
 #include <cstdlib>
+#include <mutex>
 
 extern "C" i64 sstpu_amd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
                          double dense, i64 aggressive);
@@ -48,6 +49,7 @@ struct NDProf {
   }
 };
 NDProf g_prof;
+std::mutex g_ws_mu;  // serializes g_ws/g_prof users (ND + edgecut)
 
 struct ScopeT {
   double* acc;
@@ -516,9 +518,11 @@ struct NDContext {
   int restarts = 2;
   void load_env() {
     const char* e = getenv("SSTPU_ND_COARSEN_STOP");
-    if (e) coarsen_stop = atoll(e);
+    if (e) coarsen_stop = std::max<i64>(atoll(e), 2);
     e = getenv("SSTPU_ND_RESTARTS");
-    if (e) restarts = atoi(e);
+    // >=1: zero restarts would leave `side` empty and the projection
+    // loops reading out of bounds
+    if (e) restarts = std::max(atoi(e), 1);
   }
 };
 
@@ -674,6 +678,10 @@ SSTPU_API i64 sstpu_nested_dissection_sets(i64 n, const i64* Ap, const i64* Ai,
                                            i64* perm, i64 nd_small, i64 seed,
                                            i64* cmember) {
   if (n <= 0) return 0;
+  // the pooled Workspace (g_ws) is shared state: serialize whole-call
+  // (ctypes drops the GIL during foreign calls, so two Python threads CAN
+  // get here concurrently; common.h promises thread-safe entry points)
+  std::lock_guard<std::mutex> lock(g_ws_mu);
   g_prof.reset();
   Graph g;
   g.n = n;
@@ -812,6 +820,7 @@ SSTPU_API i64 sstpu_edgecut(i64 n, const i64* Ap, const i64* Ai, i64* part,
                             double target_split, double tolerance, i64 seed,
                             i64* cut_out) {
   if (n <= 0) { cut_out[0] = 0; cut_out[1] = 0; return 0; }
+  std::lock_guard<std::mutex> lock(g_ws_mu);  // g_ws serialization
   Graph g;
   g.n = n;
   g.xadj.assign(Ap, Ap + n + 1);

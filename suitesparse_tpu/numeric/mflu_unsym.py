@@ -59,6 +59,47 @@ class LUUnsymSymbolic:
     nforeign: np.ndarray        # foreign (pass-through) rows per front
 
 
+def _complete_matching(A: CSC, match: np.ndarray) -> tuple:
+    """Augment a partial row-for-column matching over A's structural
+    pattern (Kuhn alternating paths, iterative): existing pairs are KEPT
+    — the weighted matcher chose them for pivot magnitude — and only the
+    columns it left unmatched (all-stored-zero columns) get new rows."""
+    n = A.ncol
+    indptr, indices = A.indptr, A.indices
+    rowof = np.asarray(match, dtype=np.int64).copy()
+    rmatch = np.full(A.nrow, -1, dtype=np.int64)
+    for j in range(n):
+        if rowof[j] >= 0:
+            rmatch[rowof[j]] = j
+    for j0 in np.flatnonzero(rowof < 0):
+        seen = np.zeros(A.nrow, dtype=bool)
+        # iterative DFS over alternating paths; frame = [col, cursor, row]
+        stack = [[int(j0), int(indptr[j0]), -1]]
+        while stack:
+            fr = stack[-1]
+            j, p = fr[0], fr[1]
+            if p >= indptr[j + 1]:
+                stack.pop()
+                if stack:
+                    stack[-1][1] += 1
+                    stack[-1][2] = -1
+                continue
+            r = int(indices[p])
+            if seen[r]:
+                fr[1] += 1
+                continue
+            seen[r] = True
+            fr[2] = r
+            if rmatch[r] < 0:
+                # augment: every frame's current (col, row) edge flips
+                for (cj, _, cr) in stack:
+                    rowof[cj] = cr
+                    rmatch[cr] = cj
+                break
+            stack.append([int(rmatch[r]), int(indptr[rmatch[r]]), -1])
+    return int((rowof >= 0).sum()), rowof
+
+
 def analyze_mflu_unsym(A: CSC, config: Config = DEFAULT) -> LUUnsymSymbolic:
     m, n = A.shape
     assert m == n, "unsymmetric multifrontal LU expects square A"
@@ -76,12 +117,12 @@ def analyze_mflu_unsym(A: CSC, config: Config = DEFAULT) -> LUUnsymSymbolic:
         # wmatch treats explicitly-stored zeros as absent edges (they carry
         # -inf log-weight); a column whose stored entries are all 0.0 can
         # come back unmatched even when a structural transversal exists.
-        # Complete the matching structurally (MC64's own completion step)
-        # before declaring the matrix singular (ADVICE r2).
-        from ..ordering.btf import maxtrans
-        nmatch2, match2 = maxtrans(A)
-        if nmatch2 == n:
-            nmatch, match = nmatch2, match2
+        # COMPLETE the matching (MC64's own completion step): keep every
+        # weighted pair — they carry the pivot quality — and augment only
+        # the unmatched columns over the structural pattern (review r3:
+        # replacing the whole matching with a fresh maxtrans could move
+        # well-matched columns onto stored zeros).
+        nmatch, match = _complete_matching(A, match)
     assert nmatch == n, "structurally singular matrix (no full transversal)"
     # Ap has the matched entry of column j on the diagonal
     Ap = A.permuted(match, None)
@@ -505,10 +546,15 @@ def mflusol_unsym(A: CSC, b: np.ndarray,
                 break
             prev = nrm
             x = x + lu_unsym_solve_device(Ag, r, config, SL=SL)
-        if residual_norm(Ag, x, b) < 1e-12:
+        rx = residual_norm(Ag, x, b)
+        if rx < 1e-9:
+            # healthy LU+IR solve: do NOT pay the QR repair pass for the
+            # last couple of digits (a well-posed fp32+IR solve lands here;
+            # the 1e-12 gate routed it into a full QR analyze+factorize
+            # for no accuracy change — review r3)
             return x
     except (AssertionError, ValueError):
-        x = None
+        x, rx = None, np.inf
     # stalled or failed: device QR repair pass (+ refinement)
     try:
         from .mfqr_device import mfqrsol_device
@@ -521,13 +567,13 @@ def mflusol_unsym(A: CSC, b: np.ndarray,
                 break
             xq = xq + mfqrsol_device(Ag, r, config, SQ=SQR)
         rq = residual_norm(Ag, xq, b)
-        if x is None or rq <= residual_norm(Ag, x, b):
-            x = xq
-        if residual_norm(Ag, x, b) < 1e-9:
+        if x is None or rq <= rx:
+            x, rx = xq, rq
+        if rx < 1e-9:
             return x
     except (AssertionError, ValueError):
         pass
-    if x is not None and residual_norm(Ag, x, b) < 1e-6:
+    if x is not None and rx < 1e-6:
         return x
     from .lu import lusol
     return lusol(Ag, b, config)

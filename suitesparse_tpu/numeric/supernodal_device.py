@@ -78,6 +78,7 @@ class PairClass:
     npairs: int
     strategy: str = "mm"   # placement strategy: mm | gather | scan
     T: int = 0             # scan tile size (strategy == "scan")
+    B_c: int = 1           # source group batch (working-set estimates)
 
 
 @dataclasses.dataclass
@@ -557,6 +558,7 @@ def _augment_pairs(plan: "Plan") -> None:
                     if best_scan is not None and best_scan[0] < t_best:
                         t_best, choice = best_scan[0], "scan"
                 pc.strategy = choice
+                pc.B_c = B_c
                 if choice == "gather":
                     inv = np.full((np_, R), RU, dtype=np.int64)
                     mk = idx >= 0
@@ -839,8 +841,10 @@ def _estimate_group_cells(g: GroupPlan) -> int:
     cells = g.B * g.R * g.R + g.B * RU * RU
     for pc in g.pairs:
         if pc.strategy == "scan":
-            # padded child copy only; windows never materialize buffers
-            cells += (pc.RU_c + 2 * pc.T) ** 2
+            # padded child copy only (WHOLE child batch; windows never
+            # materialize buffers) — under-counting B_c packed segments
+            # past their budget (review r3)
+            cells += pc.B_c * (pc.RU_c + 2 * pc.T) ** 2
         elif pc.strategy == "gather":
             # half + half^T + contrib
             cells += pc.npairs * (2 * g.R * pc.RU_c + g.R * g.R)

@@ -723,7 +723,8 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
         topology = None          # single host: the flat schedule IS the plan
 
     cache = getattr(S, "_dist2_cache", None)
-    key = (id(mesh), ndev, config.precision, topology)
+    key = (id(mesh), ndev, config.precision, topology,
+           str(_dist_dtype(config)))  # dtype changes the compiled program
     if cache is None or cache[0] != key:
         C_low = A.symperm(S.perm).transpose()
         plan, part, dist = build_dist_plan(S, C_low, ndev, topo=topology)
@@ -764,6 +765,8 @@ def dist_factorize_v2(A: CSC, S: SupernodalSymbolic, mesh,
             leaf_args.append((shard_leading(dg["asrc"]),
                               shard_leading(dg["adst"]),
                               shard_leading(dg["nc"]), pa))
+        # (cut_args look v2-only but dist_solve_v2's leaf sweeps consume
+        # them from this cache on BOTH schedules — they must stay)
         cut_args = [(shard_leading(s), shard_leading(d0), shard_leading(ix))
                     for (_, _, _, _, _, s, d0, ix) in cut_sets]
 

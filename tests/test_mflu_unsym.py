@@ -190,3 +190,31 @@ def test_tiny_diagonal_stays_on_device_path():
         lumod.lusol = orig
     assert sst.residual_norm(A, x, b) < 1e-10
     assert calls["n"] == 0, "fell back to host KLU"
+
+
+def test_matching_completion_preserves_weighted_pairs():
+    """A column whose stored entries are all 0.0 is unmatched by the
+    weighted matcher; _complete_matching must augment it STRUCTURALLY while
+    keeping the weighted pairs except along the one alternating path
+    (review r3: a wholesale maxtrans replacement could move well-matched
+    columns onto stored zeros)."""
+    from suitesparse_tpu.numeric.mflu_unsym import _complete_matching
+    import suitesparse_tpu.native as native
+    from suitesparse_tpu.sparse import from_triplets
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    n = 6
+    rows = np.array([0, 1, 2, 3, 4, 5, 1, 2, 0, 5])
+    cols = np.array([0, 1, 2, 3, 4, 5, 0, 1, 5, 0])
+    vals = np.array([3., 4., 5., 6., 7., 0., 1., 1., 0., 1.])
+    A = from_triplets(n, n, rows, cols, vals)
+    nm, match = native.wmatch(n, n, A.indptr, A.indices, A.data)
+    assert nm == 5 and match[5] == -1
+    nm2, m2 = _complete_matching(A, match)
+    assert nm2 == n
+    for j in range(n):
+        assert m2[j] in set(A.indices[A.indptr[j]:A.indptr[j + 1]])
+    # only the alternating path through column 0 may move
+    assert sum(int(match[j] >= 0 and m2[j] != match[j])
+               for j in range(n)) <= 1

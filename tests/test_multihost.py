@@ -58,9 +58,17 @@ def test_topology_engages_mid_phase():
     assert dist.get("v3_args") is not None
     assert len(v3["mid_dist"]) > 0, "no MID groups — DCN schedule inert"
     assert v3["f1_cells"] > 0
-    # the DCN-crossing buffer must be smaller than mid+gtop combined —
-    # i.e. the mid fronts' halo really moved off the global psum
-    assert v3["f0_cells"] < v3["f0_cells"] + v3["f1_cells"]
+    # the DCN-crossing buffer must be a PROPER SUBSET of what the flat
+    # schedule psums globally: flat puts mid+gtop halos on the one global
+    # psum; the topology schedule moves the MID share onto ICI. Compare
+    # against the flat partition of the same problem.
+    S2 = analyze_supernodal(A, amd_order(A))
+    dist_flat = None
+    from suitesparse_tpu.parallel.dist2 import build_dist_plan
+    C_low = A.symperm(S2.perm).transpose()
+    _, _, dist_flat = build_dist_plan(S2, C_low, 8)
+    assert v3["f0_cells"] < dist_flat["f0_cells"], (
+        v3["f0_cells"], dist_flat["f0_cells"])
 
 
 def test_topology_partition_invariants():
