@@ -389,3 +389,24 @@ def test_coarse_inv_solve_after_segmented_factorize(monkeypatch):
     assert residual_norm(A, x, b) < 1e-5
     assert residual_norm(A, supernodal_solve.solve_refined(F, A, b),
                          b) < 1e-14
+
+
+def test_solve_dispatch_matches_solve_device(monkeypatch):
+    """bench times the solve through solve_dispatch: the (fn, args) it
+    returns must compute exactly what solve_device returns, in every mode."""
+    from suitesparse_tpu.numeric import supernodal_device, supernodal_solve
+
+    A = fixtures.laplacian_3d(7)
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal_device.factorize_device(A, S)
+    b = 1.0 + np.arange(A.ncol) / A.ncol
+    for inv, coarse in (("0", "0"), ("1", "0"), ("1", "1")):
+        monkeypatch.setenv("SSTPU_SOLVE_INV", inv)
+        monkeypatch.setenv("SSTPU_SOLVE_COARSE", coarse)
+        S._solve_cache = None
+        x = supernodal_solve.solve_device(F, b)
+        fn, args = supernodal_solve.solve_dispatch(F, b)
+        yz = np.asarray(fn(*args), dtype=np.float64)
+        xd = np.empty_like(yz[:S.n])
+        xd[S.perm] = yz[:S.n]
+        assert np.array_equal(xd[:, 0], x), (inv, coarse)
