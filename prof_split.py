@@ -11,6 +11,10 @@ os.environ.setdefault("SSTPU_PLAN_CONSTS", "1")
 import jax
 import jax.numpy as jnp
 
+if os.environ.get("JAX_PLATFORMS"):
+    # sitecustomize pre-imports jax: honor an explicit platform request
+    # via config (env alone is too late; NOTES gotcha)
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 cache_dir = os.path.expanduser("~/.cache/sstpu_jax")
 jax.config.update("jax_compilation_cache_dir", cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
