@@ -410,3 +410,17 @@ def test_solve_dispatch_matches_solve_device(monkeypatch):
         xd = np.empty_like(yz[:S.n])
         xd[S.perm] = yz[:S.n]
         assert np.array_equal(xd[:, 0], x), (inv, coarse)
+
+
+def test_solve_report_static_accounting():
+    from suitesparse_tpu.numeric import supernodal_device, supernodal_solve
+
+    A = fixtures.laplacian_3d(7)
+    S = analyze_supernodal(A, amd_order(A))
+    supernodal_device.factorize_device(A, S)
+    rep = supernodal_solve.solve_report(S)
+    assert "fine" in rep and "coarse" in rep
+    lines = rep.splitlines()
+    fine = int(lines[1].split()[1])
+    coarse = int(lines[2].split()[1])
+    assert coarse < fine  # the coarse plan must actually cut steps
