@@ -243,10 +243,11 @@ def _factor_block(C: CSC, tol: float) -> tuple[BlockLU | None, int]:
         Ai = np.ascontiguousarray(C.indices)
         Ax = np.ascontiguousarray(C.data, dtype=np.float64)
         while True:
-            Lp = np.zeros(nk + 1, dtype=np.int64)
+            # kernel writes Lp/Up fully (Lp[0]=0 onward) — no zeroing needed
+            Lp = np.empty(nk + 1, dtype=np.int64)
             Li = np.empty(capacity, dtype=np.int64)
             Lx = np.empty(capacity, dtype=np.float64)
-            Up = np.zeros(nk + 1, dtype=np.int64)
+            Up = np.empty(nk + 1, dtype=np.int64)
             Ui = np.empty(capacity, dtype=np.int64)
             Ux = np.empty(capacity, dtype=np.float64)
             P = np.empty(nk, dtype=np.int64)
@@ -262,8 +263,12 @@ def _factor_block(C: CSC, tol: float) -> tuple[BlockLU | None, int]:
             if rc != 0:
                 return None, int(rc)
             lnz, unz = int(Lp[nk]), int(Up[nk])
-            return BlockLU(Lp=Lp, Li=Li[:lnz].copy(), Lx=Lx[:lnz].copy(),
-                           Up=Up, Ui=Ui[:unz].copy(), Ux=Ux[:unz].copy(),
+            # shrink IN PLACE (realloc tail-free, no copy): the trim copies
+            # were ~2/3 of the non-kernel factor cost at circuit scale on
+            # this 280 MB/s-memcpy host (klu_l parity study, round 3)
+            for arr, sz in ((Li, lnz), (Lx, lnz), (Ui, unz), (Ux, unz)):
+                arr.resize(sz, refcheck=False)
+            return BlockLU(Lp=Lp, Li=Li, Lx=Lx, Up=Up, Ui=Ui, Ux=Ux,
                            P=P), 0
     return _lu_gp_python(C, tol)
 
