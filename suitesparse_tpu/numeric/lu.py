@@ -96,17 +96,22 @@ def analyze_lu(A: CSC, config: Config = DEFAULT) -> LUSymbolic:
 
 
 def _extract_block(Aperm: CSC, k1: int, k2: int) -> CSC:
-    """Diagonal block Aperm[k1:k2, k1:k2] as CSC with local indices
-    (vectorized: the per-column Python loop cost ~0.5 s at n=100k)."""
+    """Diagonal block Aperm[k1:k2, k1:k2] as CSC with local indices.
+
+    Aperm's rows are sorted within columns (``permuted`` sorts), so the
+    block is a mask-filter that PRESERVES order — direct CSC assembly, no
+    triplet sort (the from_triplets route cost ~0.1 s at circuit scale,
+    klu_l parity study)."""
     nk = k2 - k1
+    if nk == Aperm.ncol and k1 == 0:
+        return Aperm                      # single-block BTF: the whole matrix
     lo, hi = int(Aperm.indptr[k1]), int(Aperm.indptr[k2])
     rr = Aperm.indices[lo:hi]
-    cc = np.repeat(np.arange(k1, k2, dtype=np.int64),
-                   np.diff(Aperm.indptr[k1:k2 + 1]))
     sel = (rr >= k1) & (rr < k2)
-    from ..sparse import from_triplets
-    return from_triplets(nk, nk, rr[sel] - k1, cc[sel] - k1,
-                         Aperm.data[lo:hi][sel])
+    csel = np.zeros(hi - lo + 1, dtype=np.int64)
+    np.cumsum(sel, out=csel[1:])
+    indptr = csel[Aperm.indptr[k1:k2 + 1] - lo]
+    return CSC(nk, nk, indptr, rr[sel] - k1, Aperm.data[lo:hi][sel], 0)
 
 
 def _scale_rows(A: CSC, mode: int) -> tuple[CSC, np.ndarray]:
