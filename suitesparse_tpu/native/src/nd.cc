@@ -27,6 +27,8 @@ extern "C" i64 sstpu_amd(i64 n, const i64* Ap, const i64* Ai, i64* perm,
 
 namespace {
 
+using i32 = int32_t;
+
 // Env-gated phase profiling (SSTPU_ND_PROF=1): accumulated ns per phase,
 // printed at the end of each top-level ND call.
 struct NDProf {
@@ -65,8 +67,12 @@ struct ScopeT {
 };
 
 struct Graph {
+  // int32 internals: ND graphs are bounded by the A+A' pattern size
+  // (entry guards n, nnz < 2^31; -3 otherwise) — halving the adjacency
+  // traffic measured ~10% whole-ND on the bandwidth-poor bench host,
+  // bit-identical perms (same RNG consumption, no overflow)
   i64 n = 0;
-  std::vector<i64> xadj, adj, ewgt, vwgt;
+  std::vector<i32> xadj, adj, ewgt, vwgt;
   i64 total_vwgt = 0;
 };
 
@@ -80,11 +86,13 @@ struct Workspace {
   std::vector<std::pair<i64, i64>> heap;
   std::vector<i64> moves, cand, next_cand, def0, def1;
   i64 tick = 0;
-  // contract pools
-  std::vector<i64> cnt, vlist, fill, cmark, cslot;
+  // contract pools (cmark holds monotone ctick stamps -> stays i64)
+  std::vector<i32> cnt, vlist, fill, cslot;
+  std::vector<i64> cmark;
   i64 ctick = 0;
-  // bfs pools
-  std::vector<i64> dist, queue;
+  // bfs pools (dist holds btick stamps -> stays i64)
+  std::vector<i64> dist;
+  std::vector<i32> queue;
   i64 btick = 0;
   void ensure(i64 n) {
     if ((i64)gain.size() < n) {
@@ -110,7 +118,7 @@ Workspace g_ws;
 // Flat two-pass construction with marker-based duplicate merging — no
 // per-vertex vectors, no sorts (this ran at every coarsening level of every
 // recursion node and dominated ND time).
-Graph contract(const Graph& g, const std::vector<i64>& cmap, i64 cn) {
+Graph contract(const Graph& g, const std::vector<i32>& cmap, i64 cn) {
   Graph cg;
   cg.n = cn;
   cg.vwgt.assign(cn, 0);
@@ -121,8 +129,8 @@ Graph contract(const Graph& g, const std::vector<i64>& cmap, i64 cn) {
   Workspace& ws = g_ws;
   ws.ensure_c(g.n, cn);
   ws.cnt.assign(cn + 1, 0);
-  i64* cnt = ws.cnt.data();
-  i64* vlist = ws.vlist.data();
+  i32* cnt = ws.cnt.data();
+  i32* vlist = ws.vlist.data();
   for (i64 v = 0; v < g.n; v++) cnt[cmap[v] + 1]++;
   for (i64 c = 0; c < cn; c++) cnt[c + 1] += cnt[c];
   ws.fill.assign(ws.cnt.begin(), ws.cnt.end() - 1);
@@ -131,7 +139,7 @@ Graph contract(const Graph& g, const std::vector<i64>& cmap, i64 cn) {
   cg.adj.reserve(g.adj.size());
   cg.ewgt.reserve(g.adj.size());
   i64* cmark = ws.cmark.data();
-  i64* cslot = ws.cslot.data();
+  i32* cslot = ws.cslot.data();
   i64 base = ws.ctick;
   ws.ctick += cn;
   for (i64 c = 0; c < cn; c++) {
@@ -140,10 +148,10 @@ Graph contract(const Graph& g, const std::vector<i64>& cmap, i64 cn) {
       for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
         i64 cu = cmap[g.adj[p]];
         if (cu == c) continue;
-        i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
+        i32 w = g.ewgt.empty() ? 1 : g.ewgt[p];
         if (cmark[cu] != base + c) {
           cmark[cu] = base + c;
-          cslot[cu] = (i64)cg.adj.size();
+          cslot[cu] = (i32)cg.adj.size();
           cg.adj.push_back(cu);
           cg.ewgt.push_back(w);
         } else {
@@ -151,19 +159,19 @@ Graph contract(const Graph& g, const std::vector<i64>& cmap, i64 cn) {
         }
       }
     }
-    cg.xadj[c + 1] = (i64)cg.adj.size();
+    cg.xadj[c + 1] = (i32)cg.adj.size();
   }
   return cg;
 }
 
 // Heavy-edge matching; returns coarse size and cmap.
-i64 match(const Graph& g, std::vector<i64>& cmap, std::mt19937_64& rng) {
-  std::vector<i64> order(g.n);
-  for (i64 i = 0; i < g.n; i++) order[i] = i;
+i64 match(const Graph& g, std::vector<i32>& cmap, std::mt19937_64& rng) {
+  std::vector<i32> order(g.n);
+  for (i64 i = 0; i < g.n; i++) order[i] = (i32)i;
   std::shuffle(order.begin(), order.end(), rng);
   cmap.assign(g.n, -1);
   i64 cn = 0;
-  for (i64 v : order) {
+  for (i32 v : order) {
     if (cmap[v] != -1) continue;
     i64 best = -1, bestw = -1;
     for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
@@ -172,8 +180,8 @@ i64 match(const Graph& g, std::vector<i64>& cmap, std::mt19937_64& rng) {
       i64 w = g.ewgt.empty() ? 1 : g.ewgt[p];
       if (w > bestw) { bestw = w; best = u; }
     }
-    cmap[v] = cn;
-    if (best != -1) cmap[best] = cn;
+    cmap[v] = (i32)cn;
+    if (best != -1) cmap[best] = (i32)cn;
     cn++;
   }
   return cn;
@@ -188,7 +196,7 @@ void initial_bisect(const Graph& g, std::vector<char>& side,
   Workspace& ws = g_ws;
   ws.ensure(g.n);
   i64* dist = ws.dist.data();
-  i64* queue = ws.queue.data();
+  i32* queue = ws.queue.data();
   i64 start = (i64)(rng() % g.n);
   for (int rep = 0; rep < 3; rep++) {
     i64 tick = ++ws.btick;
@@ -526,6 +534,15 @@ struct NDContext {
   }
 };
 
+// Leaf AMD on an int32 subgraph: sstpu_amd takes i64 arrays; leaves are
+// <= nd_small vertices so the copies are trivial.
+i64 amd_on(const Graph& g, std::vector<i64>& p) {
+  std::vector<i64> xa(g.xadj.begin(), g.xadj.end());
+  std::vector<i64> ad(g.adj.begin(), g.adj.end());
+  p.resize(g.n);
+  return sstpu_amd(g.n, xa.data(), ad.data(), p.data(), 10.0, 1);
+}
+
 // Order subgraph (vertices vmap into the original) into perm[lo..hi).
 void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
                 i64 lo, i64 hi) {
@@ -535,7 +552,7 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
     // leaf: AMD on the subgraph (NESDIS strategy)
     ScopeT _t(&g_prof.amd_s);
     std::vector<i64> p(n);
-    if (sstpu_amd(n, g.xadj.data(), g.adj.data(), p.data(), 10.0, 1) != 0)
+    if (amd_on(g, p) != 0)
       for (i64 i = 0; i < n; i++) p[i] = i;
     for (i64 k = 0; k < n; k++) ctx.perm[lo + k] = vmap[p[k]];
     if (ctx.cpos) {
@@ -546,10 +563,10 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
   }
   // multilevel bisection
   std::vector<Graph> levels;
-  std::vector<std::vector<i64>> cmaps;
+  std::vector<std::vector<i32>> cmaps;
   levels.push_back(std::move(g));
   while (levels.back().n > ctx.coarsen_stop) {
-    std::vector<i64> cmap;
+    std::vector<i32> cmap;
     i64 cn;
     {
       ScopeT _t(&g_prof.match_s);
@@ -617,8 +634,7 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
   if (s_nodes.empty() && (a_nodes.empty() || b_nodes.empty())) {
     // no progress (graph likely disconnected into one side): AMD fallback
     std::vector<i64> p(fg.n);
-    if (sstpu_amd(fg.n, fg.xadj.data(), fg.adj.data(), p.data(), 10.0, 1)
-        != 0)
+    if (amd_on(fg, p) != 0)
       for (i64 i = 0; i < fg.n; i++) p[i] = i;
     for (i64 k = 0; k < fg.n; k++) ctx.perm[lo + k] = vmap[p[k]];
     if (ctx.cpos) {
@@ -678,6 +694,7 @@ SSTPU_API i64 sstpu_nested_dissection_sets(i64 n, const i64* Ap, const i64* Ai,
                                            i64* perm, i64 nd_small, i64 seed,
                                            i64* cmember) {
   if (n <= 0) return 0;
+  if (n > INT32_MAX || Ap[n] > INT32_MAX) return -3;  // int32 internals
   // the pooled Workspace (g_ws) is shared state: serialize whole-call
   // (ctypes drops the GIL during foreign calls, so two Python threads CAN
   // get here concurrently; common.h promises thread-safe entry points)
@@ -820,6 +837,7 @@ SSTPU_API i64 sstpu_edgecut(i64 n, const i64* Ap, const i64* Ai, i64* part,
                             double target_split, double tolerance, i64 seed,
                             i64* cut_out) {
   if (n <= 0) { cut_out[0] = 0; cut_out[1] = 0; return 0; }
+  if (n > INT32_MAX || Ap[n] > INT32_MAX) return -3;  // int32 internals
   std::lock_guard<std::mutex> lock(g_ws_mu);  // g_ws serialization
   Graph g;
   g.n = n;
@@ -832,10 +850,10 @@ SSTPU_API i64 sstpu_edgecut(i64 n, const i64* Ap, const i64* Ai, i64* part,
   double fhi = std::min(1.0, target_split + tolerance);
 
   std::vector<Graph> levels;
-  std::vector<std::vector<i64>> cmaps;
+  std::vector<std::vector<i32>> cmaps;
   levels.push_back(std::move(g));
   while (levels.back().n > 200) {
-    std::vector<i64> cmap;
+    std::vector<i32> cmap;
     i64 cn = match(levels.back(), cmap, rng);
     if (cn > levels.back().n * 9 / 10) break;
     Graph cg = contract(levels.back(), cmap, cn);
