@@ -213,6 +213,7 @@ def nested_dissection(indptr: np.ndarray, indices: np.ndarray, n: int,
     perm = np.empty(n, dtype=np.int64)
     rc = dll.sstpu_nested_dissection(n, _ptr_i64(indptr), _ptr_i64(indices),
                                      _ptr_i64(perm), nd_small, seed)
+    assert rc != -3, "pattern exceeds int32 ND internals (n or nnz >= 2^31)"
     assert rc == 0, f"native nested dissection failed rc={rc}"
     return perm
 
@@ -231,6 +232,7 @@ def nested_dissection_sets(indptr: np.ndarray, indices: np.ndarray, n: int,
     rc = dll.sstpu_nested_dissection_sets(
         n, _ptr_i64(indptr), _ptr_i64(indices), _ptr_i64(perm), nd_small,
         seed, _ptr_i64(cmember))
+    assert rc != -3, "pattern exceeds int32 ND internals (n or nnz >= 2^31)"
     assert rc == 0, f"native nested dissection failed rc={rc}"
     return perm, cmember
 
