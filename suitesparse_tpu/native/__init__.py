@@ -251,6 +251,7 @@ def edgecut(indptr: np.ndarray, indices: np.ndarray, n: int,
     rc = dll.sstpu_edgecut(n, _ptr_i64(indptr), _ptr_i64(indices),
                            _ptr_i64(part), ctypes.c_double(target_split),
                            ctypes.c_double(tolerance), seed, _ptr_i64(out))
+    assert rc != -3, "pattern exceeds int32 ND internals (n or nnz >= 2^31)"
     assert rc == 0, f"native edgecut failed rc={rc}"
     return part, int(out[0])
 

@@ -534,8 +534,10 @@ struct NDContext {
   }
 };
 
-// Leaf AMD on an int32 subgraph: sstpu_amd takes i64 arrays; leaves are
-// <= nd_small vertices so the copies are trivial.
+// AMD on an int32 subgraph: sstpu_amd takes i64 arrays. At the nd_small
+// leaves the copies are trivial; the no-progress fallback site can pass a
+// large subgraph, where the O(nnz) i64 copy is still dominated by AMD
+// itself (degenerate-input path, not steady state).
 i64 amd_on(const Graph& g, std::vector<i64>& p) {
   std::vector<i64> xa(g.xadj.begin(), g.xadj.end());
   std::vector<i64> ad(g.adj.begin(), g.adj.end());

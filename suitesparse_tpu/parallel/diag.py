@@ -33,9 +33,14 @@ _BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4,
           "s64": 8, "pred": 1}
 
 
-def _payload_bytes(rhs: str) -> int:
+def _result_bytes(name: str, rhs: str) -> int:
+    """Bytes of the op's RESULT only: the shape tokens before the op name
+    on the definition line (operand shapes repeat after it and must not be
+    counted — they inflated all-reduce 2x in the first census)."""
+    base = name.split(".")[0]               # e.g. all-reduce-start
+    head = rhs.split(" " + base + "(", 1)[0]
     total = 0
-    for dt, dims in _SHAPE_RE.findall(rhs):
+    for dt, dims in _SHAPE_RE.findall(head):
         n = 1
         for d in dims.split(","):
             if d:
@@ -47,7 +52,11 @@ def _payload_bytes(rhs: str) -> int:
 def census_from_hlo(hlo_text: str) -> dict:
     """Parse optimized HLO into {op_type: {"count", "bytes"}} plus
     ``psum_all_reduces`` (all-reduce defs whose metadata names the
-    shard_map psum — the leaf halo exchange) and ``async_pairs``."""
+    shard_map psum — the leaf halo exchange) and ``async_pairs``.
+
+    Async collectives (TPU compiles) count under their base type via the
+    ``-start`` def (which carries the payload shape); ``-done`` defs are
+    skipped so pairs are not double-counted."""
     out = {k: {"count": 0, "bytes": 0} for k in _COLL}
     async_pairs = 0
     lines = hlo_text.splitlines()
@@ -57,22 +66,22 @@ def census_from_hlo(hlo_text: str) -> dict:
             continue
         name, rhs = m.groups()
         base = next(k for k in _COLL if name.startswith(k))
-        if name.startswith(base + "-start"):
-            async_pairs += 1
-            continue
         if name.startswith(base + "-done"):
             continue
+        if name.startswith(base + "-start"):
+            async_pairs += 1
         out[base]["count"] += 1
-        out[base]["bytes"] += _payload_bytes(rhs.split(" metadata=")[0])
+        out[base]["bytes"] += _result_bytes(name, rhs)
     # the leaf halo psum: XLA may fuse several shard_map psums into one
     # tuple all-reduce, and the "psum" op_name metadata lands on the
-    # get-tuple-element CONSUMERS — attribute through uses
+    # get-tuple-element CONSUMERS — attribute through uses. FULL op names
+    # (incl. -start.N suffixes) so distinct async psums stay distinct.
     psum_ops = set()
     for line in lines:
         if "psum" not in line:
             continue
-        for ref in re.findall(r"%(all-reduce[.\d]*)", line):
-            psum_ops.add(ref)
+        for ref in re.findall(r"%(all-reduce(?:-start|-done)?[.\d]*)", line):
+            psum_ops.add(ref.replace("-done", "-start"))
     out["psum_all_reduces"] = len(psum_ops)
     out["async_pairs"] = async_pairs
     return out
@@ -89,6 +98,11 @@ def collective_census(S, A, mesh) -> dict:
     cache = getattr(S, "_dist2_cache", None)
     assert cache is not None, "run dist_factorize_v2 first"
     _, fn, leaf_args, cut_args, plan, part, dist, mesh2 = cache
+    # the census lowers against the CACHED program — a mismatched mesh
+    # would silently return the wrong topology's numbers
+    assert (tuple(mesh.axis_names) == tuple(mesh2.axis_names)
+            and dict(mesh.shape) == dict(mesh2.shape)), \
+        "mesh differs from the cached dist_factorize_v2 mesh; re-run it"
     cdev = jax.device_put(
         sd._clow_data(A, S), NamedSharding(mesh2, PartitionSpec()))
     if dist.get("v3_args") is not None:

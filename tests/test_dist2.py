@@ -153,10 +153,6 @@ def test_collective_census_one_halo_psum():
     resharding. The census makes the contract regression-testable (VERDICT
     r2 weak #7: the dryrun log proved clean partitioning but not the
     collective structure)."""
-    import json
-    import numpy as np
-    import jax
-    from jax.sharding import Mesh
     import suitesparse_tpu as sst
     from suitesparse_tpu.io import fixtures
     from suitesparse_tpu.ordering import nested_dissection_order
@@ -166,7 +162,7 @@ def test_collective_census_one_halo_psum():
     A = fixtures.laplacian_3d(10)
     p = nested_dissection_order(A, sst.DEFAULT)
     S = analyze_supernodal(A, p)
-    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("dev",))
+    mesh = _mesh(8)
     dist2.dist_factorize_v2(A, S, mesh)
     c = diag.collective_census(S, A, mesh)
     assert c["psum_all_reduces"] == 1, c
