@@ -112,6 +112,12 @@ def main() -> None:
         "platform": jax.devices()[0].platform,
         "when": time.strftime("%Y-%m-%d %H:%M"),
     }
+    if jax.devices()[0].platform != "tpu" and \
+            os.environ.get("CAP_RECORD", "") != "1":
+        # CPU dry-runs must not leak into the driver-facing bench merge
+        print("not a TPU run: skipping CAPACITY.json record "
+              "(CAP_RECORD=1 to force)", flush=True)
+        return
     path = os.path.join(os.path.dirname(__file__), "..", "CAPACITY.json")
     recs = []
     if os.path.exists(path):
