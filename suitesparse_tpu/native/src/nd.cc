@@ -82,13 +82,14 @@ struct Graph {
 // amd_1.c style, applied here).  Stamp counters replace per-call clears.
 // NOT thread-safe (matches the library's single-threaded host contract).
 struct Workspace {
-  std::vector<i64> gain, gstamp, mstamp, instamp;
+  std::vector<i64> gain, gstamp, mstamp, instamp, hstamp, hgain;
   std::vector<std::pair<i64, i64>> heap;
-  std::vector<i64> moves, cand, next_cand, def0, def1;
+  std::vector<i64> moves, cand, next_cand, def0, def1, touched;
   i64 tick = 0;
-  // contract pools (cmark holds monotone ctick stamps -> stays i64)
-  std::vector<i32> cnt, vlist, fill, cslot;
-  std::vector<i64> cmark;
+  // contract pools (cmark holds i32 ctick stamps; the counter wraps by
+  // re-clearing cmark before overflow — random cmark accesses are the
+  // cache-miss hot spot, so halving the bytes pays)
+  std::vector<i32> cnt, vlist, fill, cslot, cmark;
   i64 ctick = 0;
   // bfs pools (dist holds btick stamps -> stays i64)
   std::vector<i64> dist;
@@ -100,6 +101,8 @@ struct Workspace {
       gstamp.resize(n, 0);
       mstamp.resize(n, 0);
       instamp.resize(n, 0);
+      hstamp.resize(n, 0);
+      hgain.resize(n);
       dist.resize(n, 0);
       queue.resize(n);
     }
@@ -138,7 +141,11 @@ Graph contract(const Graph& g, const std::vector<i32>& cmap, i64 cn) {
   cg.xadj.assign(cn + 1, 0);
   cg.adj.reserve(g.adj.size());
   cg.ewgt.reserve(g.adj.size());
-  i64* cmark = ws.cmark.data();
+  if (ws.ctick + cn > INT32_MAX) {        // i32 stamp wrap: re-clear
+    std::fill(ws.cmark.begin(), ws.cmark.end(), -1);
+    ws.ctick = 0;
+  }
+  i32* cmark = ws.cmark.data();
   i32* cslot = ws.cslot.data();
   i64 base = ws.ctick;
   ws.ctick += cn;
@@ -149,8 +156,8 @@ Graph contract(const Graph& g, const std::vector<i32>& cmap, i64 cn) {
         i64 cu = cmap[g.adj[p]];
         if (cu == c) continue;
         i32 w = g.ewgt.empty() ? 1 : g.ewgt[p];
-        if (cmark[cu] != base + c) {
-          cmark[cu] = base + c;
+        if (cmark[cu] != (i32)(base + c)) {
+          cmark[cu] = (i32)(base + c);
           cslot[cu] = (i32)cg.adj.size();
           cg.adj.push_back(cu);
           cg.ewgt.push_back(w);
@@ -265,8 +272,33 @@ i64 refine(const Graph& g, std::vector<char>& side,
   i64* mstamp = ws.mstamp.data();   // moved iff mstamp[v] == mtick
   std::vector<i64>& moves = ws.moves;
   std::vector<std::pair<i64, i64>>& heap = ws.heap;  // (gain, v), lazy
-  auto push = [&](i64 v) { heap.push_back({gain[v], v});
-    std::push_heap(heap.begin(), heap.end()); };
+  // Deduplicated heap (SSTPU_ND_FASTHEAP, default on): the classic lazy
+  // heap re-pushes on EVERY neighbor gain update (~7 entries/vertex at
+  // n=125k — 14M heap sifts, 11% of ND). Processing only ever happens at
+  // an entry whose key equals the CURRENT gain (the gv == gain[v] check),
+  // so entries at yesterday's key are pure overhead: skip the push when a
+  // live entry already sits at a key >= the current gain (it will pop
+  // early, fail validation, and re-push at the true key — exactly what
+  // the classic extra entry achieved). A push at a HIGHER key than the
+  // recorded one must still happen, or the vertex would pop late and the
+  // processing order would drift from exact descending-gain order (a
+  // drift variant measured ±7-25% lnz swings, fixture-dependent).
+  static const bool fastheap = [] {
+    const char* e = getenv("SSTPU_ND_FASTHEAP");
+    return !(e && e[0] == '0');
+  }();
+  i64* hstamp = ws.hstamp.data();   // in-heap iff hstamp[v] == htick
+  i64* hgain = ws.hgain.data();     // key of v's highest live entry
+  i64 htick = 0;
+  auto push = [&](i64 v) {
+    if (fastheap) {
+      if (hstamp[v] == htick && hgain[v] >= gain[v]) return;
+      hstamp[v] = htick;
+      hgain[v] = gain[v];
+    }
+    heap.push_back({gain[v], v});
+    std::push_heap(heap.begin(), heap.end());
+  };
   auto compute_gain = [&](i64 v) {
     i64 ext = 0, in = 0;
     for (i64 p = g.xadj[v]; p < g.xadj[v + 1]; p++) {
@@ -284,9 +316,10 @@ i64 refine(const Graph& g, std::vector<char>& side,
   else { cand.resize(g.n); for (i64 v = 0; v < g.n; v++) cand[v] = v; }
   std::vector<i64>& next_cand = ws.next_cand;
   i64* instamp = ws.instamp.data();
-  std::vector<i64> touched;  // gstamp'd this pass (avoids the O(n) rescan)
+  std::vector<i64>& touched = ws.touched;  // gstamp'd this pass
   for (int pass = 0; pass < max_pass; pass++) {
     i64 tick = ++ws.tick;
+    htick = ++ws.tick;
     heap.clear();
     touched.clear();
     for (i64 v : cand) {
@@ -311,7 +344,13 @@ i64 refine(const Graph& g, std::vector<char>& side,
       std::pop_heap(heap.begin(), heap.end());
       auto [gv, v] = heap.back();
       heap.pop_back();
-      if (mstamp[v] == mtick || gv != gain[v]) continue;  // stale
+      if (fastheap) {
+        hstamp[v] = 0;                        // entry consumed
+        if (mstamp[v] == mtick) continue;
+        if (gv != gain[v]) { push(v); continue; }  // re-enter at true gain
+      } else if (mstamp[v] == mtick || gv != gain[v]) {
+        continue;  // stale
+      }
       i64 nw0 = side[v] == 0 ? w0_run - g.vwgt[v] : w0_run + g.vwgt[v];
       if (nw0 < lo || nw0 > hi) {              // infeasible now; retry when
         deferred[side[v]]->push_back(v);       // balance shifts this way
@@ -546,7 +585,7 @@ i64 amd_on(const Graph& g, std::vector<i64>& p) {
 }
 
 // Order subgraph (vertices vmap into the original) into perm[lo..hi).
-void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
+void nd_recurse(NDContext& ctx, Graph g, std::vector<i32> vmap,
                 i64 lo, i64 hi) {
   i64 n = g.n;
   if (n == 0) return;
@@ -646,7 +685,7 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
     return;
   }
   auto build_sub = [&](const std::vector<i64>& nodes, Graph& sg,
-                       std::vector<i64>& svmap) {
+                       std::vector<i32>& svmap) {
     i64 sn = (i64)nodes.size();
     for (i64 k = 0; k < sn; k++) id[nodes[k]] = k;
     sg.n = sn;
@@ -676,7 +715,7 @@ void nd_recurse(NDContext& ctx, Graph g, std::vector<i64> vmap,
     for (i64 k = 0; k < ns; k++) ctx.cpos[hi - ns + k] = id;
   }
   Graph ga, gb;
-  std::vector<i64> va, vb;
+  std::vector<i32> va, vb;
   {
     ScopeT _t(&g_prof.sub_s);
     build_sub(a_nodes, ga, va);
@@ -718,8 +757,8 @@ SSTPU_API i64 sstpu_nested_dissection_sets(i64 n, const i64* Ap, const i64* Ai,
     cpos.assign(n, 0);
     ctx.cpos = cpos.data();
   }
-  std::vector<i64> vmap(n);
-  for (i64 i = 0; i < n; i++) vmap[i] = i;
+  std::vector<i32> vmap(n);
+  for (i64 i = 0; i < n; i++) vmap[i] = (i32)i;
   nd_recurse(ctx, std::move(g), std::move(vmap), 0, n);
   g_prof.print("nd");
   if (cmember) {
