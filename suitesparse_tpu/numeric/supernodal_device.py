@@ -889,6 +889,52 @@ def _update_consumers(plan: Plan):
     return order, last
 
 
+def _precompile_segments(fns, plan: Plan, cdata, udtype, nworkers: int):
+    """Compile segment programs CONCURRENTLY (SSTPU_SEG_PRECOMPILE=N).
+
+    The lazy path compiles each segment at its first call — serially, which
+    is the n=512k cold-start tax (~2,000 s through the remote compiler).
+    XLA compilation releases the GIL (on the axon backend it is an RPC the
+    server handles), so AOT-compiling segments from a thread pool overlaps
+    them. Tracing (``lower``) stays on the calling thread — it is Python —
+    then ``compile`` fans out. The compiled executables replace the jit
+    wrappers in ``fns`` (same call signature, donation preserved)."""
+    import concurrent.futures
+
+    import jax
+
+    order_all, last_consumer = _update_consumers(plan)
+
+    def upd_spec(k):
+        g = plan.groups[k[0]][k[1]]
+        ru = g.R - g.C
+        return jax.ShapeDtypeStruct((g.B, ru, ru), udtype)
+
+    import warnings as _w
+
+    cd_spec = jax.ShapeDtypeStruct(cdata.shape, cdata.dtype)
+    lowered = []
+    with _w.catch_warnings():
+        # donation of carried updates that have no same-shape output in a
+        # given segment is reported at LOWERING time; same benign condition
+        # the lazy path filters at call time
+        _w.filterwarnings("ignore", message=".*donated buffers.*")
+        for ent in fns:
+            fn, in_keys, dev_args = ent
+            upd_in = {k: upd_spec(k) for k in in_keys}
+            if dev_args is not None:
+                args_spec = jax.tree_util.tree_map(
+                    lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+                    dev_args)
+                lowered.append(fn.lower(cd_spec, upd_in, args_spec))
+            else:
+                lowered.append(fn.lower(cd_spec, upd_in))
+    with concurrent.futures.ThreadPoolExecutor(max_workers=nworkers) as ex:
+        exes = list(ex.map(lambda lw: lw.compile(), lowered))
+    for ent, exe in zip(fns, exes):
+        ent[0] = exe
+
+
 def _run_plan_segmented(plan: Plan, S, cdata, dtype, udtype, precision,
                         budget_cells: int):
     """Factor via a SEQUENCE of device programs with bounded working sets.
@@ -952,8 +998,8 @@ def _run_plan_segmented(plan: Plan, S, cdata, dtype, udtype, precision,
                     return pcat, out
 
                 dev_args = jax.device_put(seg_args)
-                fns.append((jax.jit(seg_fn, donate_argnums=(1,)), in_keys,
-                            dev_args))
+                fns.append([jax.jit(seg_fn, donate_argnums=(1,)), in_keys,
+                            dev_args])
             else:
                 def seg_fn(cd, upd_in, _seg=seg, _idx=np_idx,
                            _last=last_pos):
@@ -976,8 +1022,11 @@ def _run_plan_segmented(plan: Plan, S, cdata, dtype, udtype, precision,
                             else jnp.zeros(0, dtype=dtype))
                     return pcat, out
 
-                fns.append((jax.jit(seg_fn, donate_argnums=(1,)), in_keys,
-                            None))
+                fns.append([jax.jit(seg_fn, donate_argnums=(1,)), in_keys,
+                            None])
+        nworkers = int(os.environ.get("SSTPU_SEG_PRECOMPILE", "0"))
+        if nworkers > 0:
+            _precompile_segments(fns, plan, cdata, udtype, nworkers)
         S._seg_cache = (key, fns, segs)
     _, fns, segs = S._seg_cache
 

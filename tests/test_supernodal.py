@@ -424,3 +424,27 @@ def test_solve_report_static_accounting():
     fine = int(lines[1].split()[1])
     coarse = int(lines[2].split()[1])
     assert coarse < fine  # the coarse plan must actually cut steps
+
+
+def test_segment_precompile_bit_identical(monkeypatch):
+    """SSTPU_SEG_PRECOMPILE=N AOT-compiles segment programs from a thread
+    pool (the n=512k cold-start lever: segment compiles overlap instead of
+    serializing at first call). The compiled executables must produce the
+    exact factor the lazy jit path produces."""
+    monkeypatch.setenv("SSTPU_SEGMENT", "1")
+    monkeypatch.setenv("SSTPU_SEG_CELLS", "20000")
+    from suitesparse_tpu.numeric import supernodal_device
+
+    A = fixtures.laplacian_3d(8)
+    S1 = analyze_supernodal(A, amd_order(A))
+    F1 = supernodal_device.factorize_device(A, S1)
+    lx_lazy = np.asarray(F1.Lx)
+
+    monkeypatch.setenv("SSTPU_SEG_PRECOMPILE", "3")
+    S2 = analyze_supernodal(A, amd_order(A))
+    F2 = supernodal_device.factorize_device(A, S2)
+    lx_pre = np.asarray(F2.Lx)
+    assert np.array_equal(lx_lazy, lx_pre)
+    # steady state reuses the precompiled executables
+    F3 = supernodal_device.factorize_device(A, S2)
+    assert np.array_equal(np.asarray(F3.Lx), lx_pre)
