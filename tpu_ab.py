@@ -37,6 +37,19 @@ CONFIGS = {
     "nd2000": {"SSTPU_PLACE": "auto", "SSTPU_ND_SMALL": "2000", **_OFF},
     "bf16": {"SSTPU_PLACE": "auto", "SSTPU_UPDATE_DTYPE": "bfloat16",
              **_OFF},
+    # first-call lever: force the segmented schedule (~7 programs at
+    # n=125k) and compile them CONCURRENTLY via the remote compiler
+    # (SSTPU_SEG_PRECOMPILE); steady state pays only segment-boundary
+    # dispatches. Watch first_call_s vs base_cold AND value (GF/s) parity.
+    # Both use FRESH compilation-cache dirs: the persistent cache from
+    # earlier configs/rounds would otherwise make first_call_s meaningless.
+    "base_cold": {"SSTPU_PLACE": "mm",
+                  "JAX_COMPILATION_CACHE_DIR": "/tmp/sstpu_cold_base",
+                  **_OFF},
+    "seg_pre": {"SSTPU_PLACE": "mm", "SSTPU_SEGMENT": "1",
+                "SSTPU_SEG_PRECOMPILE": "6",
+                "JAX_COMPILATION_CACHE_DIR": "/tmp/sstpu_cold_segpre",
+                **_OFF},
 }
 
 RESULTS = os.path.join(os.path.dirname(__file__), "AB_RESULTS.jsonl")
