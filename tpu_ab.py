@@ -47,7 +47,7 @@ CONFIGS = {
                   "JAX_COMPILATION_CACHE_DIR": "/tmp/sstpu_cold_base",
                   **_OFF},
     "seg_pre": {"SSTPU_PLACE": "mm", "SSTPU_SEGMENT": "1",
-                "SSTPU_SEG_PRECOMPILE": "6",
+                "SSTPU_SEG_PRECOMPILE": "6", "SSTPU_SEG_CELLS": "1.5e8",
                 "JAX_COMPILATION_CACHE_DIR": "/tmp/sstpu_cold_segpre",
                 **_OFF},
 }
