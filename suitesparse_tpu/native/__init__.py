@@ -129,6 +129,9 @@ def _declare(dll) -> None:
     maybe("sstpu_aat", c, [c, _i64, _i64, _i64, _i64])
     maybe("sstpu_symperm", None, [c, _i64, _i64, _i64, _i64, _i64, _i64])
     maybe("sstpu_transpose", None, [c, c, _i64, _i64, _i64, _i64, _i64])
+    maybe("sstpu_lu_prep", None, [c, _i64, _i64, _i64, _i64, _i64, c,
+                                  _i64, _i64, _i64, _i64, _i64, _i64,
+                                  _i64, _i64, _i64, _i64, _i64, _i64, _i64])
     vp = ctypes.c_void_p
     maybe("sstpu_super_analyze", vp,
           [c, _i64, _i64, _i64, _i64, c, c, c, d, d, d])
@@ -423,6 +426,57 @@ def transpose(nrow: int, ncol: int, indptr: np.ndarray,
     dll.sstpu_transpose(nrow, ncol, _ptr_i64(indptr), _ptr_i64(indices),
                         _ptr_i64(outp), _ptr_i64(outi), _ptr_i64(outpos))
     return outp, outi, outpos
+
+
+def lu_prep(n: int, indptr, indices, pinv, q, r) -> tuple:
+    """Fused permutation + BTF block extraction maps for the KLU-path
+    factor (see sstpu_lu_prep in symbolic.cc). Returns
+    (ip, ii, pos, diag_pos, blocks, off) with blocks[k] = None for 1x1
+    blocks else (bip, bi, bpos) views into shared arrays, and off =
+    (oip, oi, opos); all positions index the PERMUTED data array."""
+    dll = _load()
+    assert dll is not None and hasattr(dll, "sstpu_lu_prep")
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    indices = np.ascontiguousarray(indices, dtype=np.int64)
+    pinv = np.ascontiguousarray(pinv, dtype=np.int64)
+    q = np.ascontiguousarray(q, dtype=np.int64)
+    r = np.ascontiguousarray(r, dtype=np.int64)
+    nblocks = r.size - 1
+    nnz = int(indptr[n])
+    ip = np.empty(n + 1, dtype=np.int64)
+    ii = np.empty(nnz, dtype=np.int64)
+    pos = np.empty(nnz, dtype=np.int64)
+    diag_pos = np.empty(n, dtype=np.int64)
+    bo = np.empty(nblocks + 1, dtype=np.int64)
+    bip_off = np.empty(nblocks + 1, dtype=np.int64)
+    nk = np.diff(r)
+    bip_cat = np.empty(int(((nk > 1) * (nk + 1)).sum()), dtype=np.int64)
+    bi_cat = np.empty(nnz, dtype=np.int64)
+    bpos_cat = np.empty(nnz, dtype=np.int64)
+    oip = np.empty(n + 1, dtype=np.int64)
+    oi = np.empty(nnz, dtype=np.int64)
+    opos = np.empty(nnz, dtype=np.int64)
+    counts = np.zeros(2, dtype=np.int64)
+    dll.sstpu_lu_prep(n, _ptr_i64(indptr), _ptr_i64(indices), _ptr_i64(pinv),
+                      _ptr_i64(q), _ptr_i64(r), nblocks,
+                      _ptr_i64(ip), _ptr_i64(ii), _ptr_i64(pos),
+                      _ptr_i64(diag_pos), _ptr_i64(bo), _ptr_i64(bip_off),
+                      _ptr_i64(bip_cat), _ptr_i64(bi_cat),
+                      _ptr_i64(bpos_cat), _ptr_i64(oip), _ptr_i64(oi),
+                      _ptr_i64(opos), _ptr_i64(counts))
+    bn, on = int(counts[0]), int(counts[1])
+    bi_cat = bi_cat[:bn]
+    bpos_cat = bpos_cat[:bn]
+    blocks = []
+    for k in range(nblocks):
+        if r[k + 1] - r[k] <= 1:
+            blocks.append(None)
+        else:
+            blocks.append((bip_cat[bip_off[k]:bip_off[k + 1]],
+                           bi_cat[bo[k]:bo[k + 1]],
+                           bpos_cat[bo[k]:bo[k + 1]]))
+    off = (oip, oi[:on].copy(), opos[:on].copy())
+    return ip, ii, pos, diag_pos, blocks, off
 
 
 def _tri_call(fname: str, n: int, indptr, indices, data, x) -> None:

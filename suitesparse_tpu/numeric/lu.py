@@ -151,6 +151,19 @@ def _prep_perm(S: LUSymbolic, Ascaled: CSC, rowperm, colperm, tag: str):
            zlib.crc32(np.ascontiguousarray(colperm).tobytes()))
     ent = store.get(tag)
     if ent is None or ent[0] != key:
+        from .. import native
+        if native.available() and native.has("sstpu_lu_prep"):
+            # fused native path: permutation + block/off/diag maps in one
+            # call (symbolic.cc sstpu_lu_prep) — the numpy pipeline below
+            # was ~half of cold factor time at circuit scale
+            from ..sparse import invert_permutation
+            ip, ii, pos, diag_pos, blocks, off = native.lu_prep(
+                S.n, Ascaled.indptr, Ascaled.indices,
+                invert_permutation(np.asarray(rowperm)), colperm, S.r)
+            store[tag] = (key, ip, ii, pos, blocks, diag_pos, off)
+            data = Ascaled.data[pos]
+            return (CSC(S.n, S.n, ip, ii, data, 0), blocks, diag_pos, off,
+                    data)
         n = S.n
         ip, ii, pos = Ascaled.permuted_map(rowperm, colperm)
         cols = np.repeat(np.arange(n, dtype=np.int64), np.diff(ip))

@@ -223,3 +223,35 @@ def test_btf_work_limit_budget():
     assert tiny <= full
     again, _ = maxtrans(A, work_limit=-1.0)
     assert again == full
+
+
+def test_lu_prep_native_matches_numpy(monkeypatch):
+    """The fused native permutation/block/off maps (sstpu_lu_prep) must
+    reproduce the numpy _prep_perm pipeline exactly: same permuted pattern,
+    per-block local CSCs, singleton diag positions, and off maps — so the
+    factor built on either path is identical."""
+    from suitesparse_tpu import native
+    from suitesparse_tpu.numeric import lu as klu
+
+    if not (native.available() and native.has("sstpu_lu_prep")):
+        pytest.skip("native lu_prep unavailable")
+    A = fixtures.load_demo("west0067") if fixtures.have_reference() else \
+        fixtures.random_sparse(120, 120, 0.06, seed=5)
+    S = klu.analyze_lu(A)
+    N_native = klu.factor_lu(A, S)
+    x1 = klu.solve_lu(N_native, np.ones(A.ncol))
+
+    real_has = native.has
+    monkeypatch.setattr(native, "has",
+                        lambda nm: False if nm == "sstpu_lu_prep"
+                        else real_has(nm))
+    S2 = klu.analyze_lu(A)
+    N_np = klu.factor_lu(A, S2)
+    x2 = klu.solve_lu(N_np, np.ones(A.ncol))
+    assert np.array_equal(x1, x2)
+    assert np.array_equal(N_native.rowperm, N_np.rowperm)
+    assert np.array_equal(N_native.Off.indptr, N_np.Off.indptr)
+    assert np.array_equal(N_native.Off.indices, N_np.Off.indices)
+    assert np.array_equal(N_native.Off.data, N_np.Off.data)
+    for bk1, bk2 in zip(N_native.blocks, N_np.blocks):
+        assert (bk1 is None) == (bk2 is None)
