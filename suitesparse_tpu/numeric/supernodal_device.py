@@ -493,11 +493,19 @@ def _augment_pairs(plan: "Plan") -> None:
                   own cells (RU^2) instead of R^2 buffers.
 
     Selection is by a measured-constant cost model; SSTPU_PLACE forces one
-    (auto | mm | gather | scan)."""
-    # DEFAULT mm until the strategy engine is TPU-A/B-validated (tpu_ab.py
-    # place_auto config): gather/scan landed while the tunnel was down and
-    # have never run on real hardware — the driver's bench must not gamble
-    mode = os.environ.get("SSTPU_PLACE", "mm")
+    (auto | mm | gather | scan | tile).
+
+    ``tile`` additionally builds the Pallas tiled extend-add manifest
+    (kernels/extend_add_tiles.py) for groups with R >= 256; classes the
+    manifest cannot fold (small RU relative to the group's padded child
+    size) fall back to the cost-model choice."""
+    # DEFAULT auto since the round-4 TPU A/B (AB_RESULTS.jsonl place_auto
+    # vs base, v5e n=125k): factor 101.1 -> 97.2 ms, residual equal; mm
+    # remains the GSPMD-safe form the sharded path forces
+    mode = os.environ.get("SSTPU_PLACE", "auto")
+    tile_mode = mode == "tile"
+    if tile_mode:
+        mode = "auto"      # non-folded classes use the cost model
     gid_B = {}
     for d, glist in enumerate(plan.groups):
         for gi, g in enumerate(glist):
@@ -577,6 +585,34 @@ def _augment_pairs(plan: "Plan") -> None:
                 else:
                     extras.append(())
             g._place_extra = extras
+            g._tile = None
+            if tile_mode and g.R >= int(os.environ.get("SSTPU_TILE_RMIN",
+                                                       "256")):
+                from ..kernels.extend_add_tiles import build_group_manifest
+                g._tile = build_group_manifest(g)
+    if tile_mode:
+        _mark_symmetrize(plan)
+
+
+def _mark_symmetrize(plan: "Plan") -> None:
+    """Flag tile-assembled groups whose update block is read FULL by some
+    consumer (a non-tile parent, or a class the parent's manifest did not
+    fold): such groups must symmetrize their update from its valid lower
+    triangle before handing it up (lower-only assembly leaves the upper
+    tiles of F22 — hence of U — unspecified)."""
+    gmap = {}
+    for d, glist in enumerate(plan.groups):
+        for gi, g in enumerate(glist):
+            gmap[(d, gi)] = g
+            g._symm_u = False
+    for glist in plan.groups:
+        for g in glist:
+            folded = set(g._tile.folded) if getattr(g, "_tile", None) else ()
+            for i, pc in enumerate(g.pairs):
+                if i not in folded:
+                    src = gmap[(pc.src_level, pc.src_gi)]
+                    if getattr(src, "_tile", None) is not None:
+                        src._symm_u = True
 
 
 def _ranges(starts: np.ndarray, stops: np.ndarray) -> np.ndarray:
@@ -612,6 +648,9 @@ def plan_arrays(plan: Plan):
             flat += [g.asrc, g.adst, g.nc]
             for arrs in _class_arrays(g):
                 flat += list(arrs)
+            tm = getattr(g, "_tile", None)
+            if tm is not None:
+                flat += [tm.man, tm.rowmap, tm.colmap]
     return flat
 
 
@@ -630,6 +669,8 @@ def _unpack_idx(plan: Plan, flat):
             for pc in g.pairs:
                 ix["pairs"].append(tuple(
                     next(it) for _ in range(_n_class_arrays(pc))))
+            if getattr(g, "_tile", None) is not None:
+                ix["tile"] = (next(it), next(it), next(it))
             lvl.append(ix)
         out.append(lvl)
     return out
@@ -652,6 +693,26 @@ def _use_potrf_kernel(dtype, B: int, C: int, RU: int = 0) -> bool:
     if mode == "1":
         return good_shape
     return good_shape and jax.devices()[0].platform == "tpu"
+
+
+def _tile_runtime(dtype, udtype) -> tuple[bool, bool]:
+    """(use_tile, interpret) runtime policy for the tiled extend-add kernel.
+
+    Mirrors _use_potrf_kernel: real TPU runs compiled; SSTPU_PALLAS=1 forces
+    interpret mode off-TPU (tests). fp32 fronts/updates only — the manifest
+    encodes fp32 (8,128) block alignment."""
+    import jax
+    import jax.numpy as jnp
+
+    if dtype != jnp.float32 or udtype != jnp.float32:
+        return False, False
+    mode = os.environ.get("SSTPU_PALLAS", "auto")
+    if mode == "0":
+        return False, False
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        return True, False
+    return (mode == "1"), True
 
 
 def _onehot_place(P, X, dtype, precision):
@@ -714,6 +775,27 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
                                      unique_indices=True)
     F = F.reshape(B, R, R)
 
+    # tiled extend-add kernel (kernels/extend_add_tiles.py): child updates
+    # concatenated into one padded Ucat, parent tiles assembled in VMEM via
+    # the manifest built at plan time. Classes the manifest did not fold
+    # (and every class when the kernel cannot run) use the per-class XLA
+    # strategies below.
+    tm = getattr(g, "_tile", None)
+    skip = ()
+    if tm is not None and cstr is None and "tile" in ix:
+        use_tile, interp = _tile_runtime(dtype, udtype)
+        if use_tile:
+            man, rmp, cmp_ = ix["tile"]
+            Ucat = jnp.zeros((max(tm.nslots, 1), tm.RUp, tm.RUp),
+                             dtype=dtype)
+            for (_ci, k0, key, RU_c, src) in tm.uslices:
+                Ucat = Ucat.at[k0:k0 + src.size, :RU_c, :RU_c].set(
+                    updates[key][src])
+            from ..kernels.extend_add_tiles import extend_add_tiles
+            F = extend_add_tiles(F, Ucat, man, rmp, cmp_,
+                                 interpret=interp)
+            skip = set(tm.folded)
+
     # extend-add: child update blocks placed by the per-class strategy
     # chosen at plan time (_augment_pairs): exact row gathers / masked
     # tile-window scans replace the round-2 one-hot matmuls (which were 66%
@@ -721,7 +803,9 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
     # the GSPMD-safe fallback used on the sharded (cstr) path. The barrier
     # ties each class's inputs to the running F so XLA cannot hoist and
     # co-materialize every class's buffers (12.8 GB at audikw-class sizes).
-    for pc, arrs in zip(g.pairs, ix["pairs"]):
+    for ci, (pc, arrs) in enumerate(zip(g.pairs, ix["pairs"])):
+        if ci in skip:
+            continue
         src, dst, idx = arrs[0], arrs[1], arrs[2]
         RU_c = pc.RU_c
         Usrc = updates[(pc.src_level, pc.src_gi)]        # (B_c, RU_c, RU_c)
@@ -805,6 +889,11 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
         U = F[:, C:, C:] - jnp.einsum('bik,bjk->bij', L21, L21,
                                       preferred_element_type=dtype,
                                       precision=precision)
+        if skip and getattr(g, "_symm_u", False):
+            # this group assembled lower-only (tile kernel) but some
+            # consumer reads its update FULL: rebuild the upper triangle
+            # from the valid lower before handing the block up
+            U = jnp.tril(U) + jnp.swapaxes(jnp.tril(U, -1), 1, 2)
         U = U.astype(udtype)
         panel_out = jnp.concatenate([L11, L21], axis=1)
     else:
@@ -839,6 +928,15 @@ def _estimate_group_cells(g: GroupPlan) -> int:
     at plan time)."""
     RU = g.R - g.C
     cells = g.B * g.R * g.R + g.B * RU * RU
+    tm = getattr(g, "_tile", None)
+    if tm is not None:
+        # kernel output front + padded Ucat live alongside the input front
+        cells += g.B * g.R * g.R + max(tm.nslots, 1) * tm.RUp * tm.RUp
+        folded = set(tm.folded)
+        for i, pc in enumerate(g.pairs):
+            if i not in folded:
+                cells += 2 * pc.npairs * g.R * pc.RU_c
+        return cells
     for pc in g.pairs:
         if pc.strategy == "scan":
             # padded child copy only (WHOLE child batch; windows never
@@ -970,11 +1068,16 @@ def _run_plan_segmented(plan: Plan, S, cdata, dtype, udtype, precision,
                              if order[k] < first_pos and lp >= first_pos)
             # updates to EMIT: produced here (or passed through) and
             # consumed after this segment
-            np_idx = {k: {"asrc": plan.groups[k[0]][k[1]].asrc,
-                          "adst": plan.groups[k[0]][k[1]].adst,
-                          "nc": plan.groups[k[0]][k[1]].nc,
-                          "pairs": _class_arrays(plan.groups[k[0]][k[1]])}
-                      for k in seg}
+            def _ix_of(k2):
+                g2 = plan.groups[k2[0]][k2[1]]
+                d2 = {"asrc": g2.asrc, "adst": g2.adst, "nc": g2.nc,
+                      "pairs": _class_arrays(g2)}
+                tm2 = getattr(g2, "_tile", None)
+                if tm2 is not None:
+                    d2["tile"] = (tm2.man, tm2.rowmap, tm2.colmap)
+                return d2
+
+            np_idx = {k: _ix_of(k) for k in seg}
             if args_mode:
                 seg_args = [np_idx[k2] for k2 in seg]
 

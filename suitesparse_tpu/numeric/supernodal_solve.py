@@ -37,19 +37,21 @@ __all__ = ["build_solve_plan", "solve_device", "solve_dispatch",
 
 def _mode_policy(env_var: str, nrhs: int) -> bool:
     """Shared env policy for the solve fast-path modes: "0" off, "1" on,
-    "auto" = small RHS counts on TPU (1-RHS is sequential-step-latency
-    bound; wide RHS blocks already amortize the per-step cost). Defaults
-    OFF until TPU-A/B-validated (tpu_ab.py opts each mode in)."""
+    "auto" (default) = on TPU. Round-4 A/B (AB_RESULTS.jsonl solve_both /
+    place_inv vs base, v5e, n=125k): inv+coarse wins at BOTH ends —
+    1 RHS 14.7 -> 9.9/10.1 ms, 64 RHS 20.9 -> 16.5 ms, residual
+    3.2e-7 vs 2.8e-7 (factor-limited either way) — so auto no longer
+    bounds nrhs."""
     import os
 
     import jax
 
-    mode = os.environ.get(env_var, "0")
+    mode = os.environ.get(env_var, "auto")
     if mode == "0":
         return False
     if mode == "1":
         return True
-    return jax.default_backend() == "tpu" and nrhs <= 8
+    return jax.default_backend() == "tpu"
 
 
 def _use_inv_solve(nrhs: int) -> bool:

@@ -178,6 +178,9 @@ def test_real_two_process_distributed(tmp_path):
     env = dict(os.environ)
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
     env["JAX_PLATFORMS"] = "cpu"
+    # the worker script runs from a tmpdir: put the repo on its path
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     env.pop("JAX_NUM_PROCESSES", None)
     procs = [subprocess.Popen([sys.executable, str(w), str(i), port],
                               stdout=subprocess.PIPE,
