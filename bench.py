@@ -63,6 +63,8 @@ def main() -> None:
         cfg = cfg.replace(nd_small=int(os.environ["SSTPU_ND_SMALL"]))
     if os.environ.get("SSTPU_UPDATE_DTYPE"):
         cfg = cfg.replace(update_dtype=os.environ["SSTPU_UPDATE_DTYPE"])
+    if os.environ.get("SSTPU_PRECISION"):
+        cfg = cfg.replace(precision=os.environ["SSTPU_PRECISION"])
     t0 = time.time()
     p = nested_dissection_order(A, cfg)
     t_ord = time.time() - t0
@@ -86,6 +88,10 @@ def main() -> None:
         prec = jax.lax.Precision.HIGHEST
         fn = lambda cd: supernodal_device._run_plan_segmented(
             S._device_plan, S, cd, jnp.float32, jnp.float32, prec, budget)
+    elif S._device_idx is not None:
+        # args mode (SSTPU_PLAN_CONSTS=0): index arrays ride device-resident
+        _fn, _idx = S._device_fn, S._device_idx
+        fn = lambda cd: _fn(cd, _idx)
     else:
         fn = S._device_fn
     out = fn(cdata)
@@ -192,10 +198,10 @@ def main() -> None:
                  "panel_efficiency": round(panel_eff, 3)}
     # active solve-mode fingerprint (the A/B knobs change the program)
     extra["solve_mode"] = "+".join(
-        [m for m, v in (("inv", os.environ.get("SSTPU_SOLVE_INV", "0")),
-                        ("coarse", os.environ.get("SSTPU_SOLVE_COARSE", "0")))
-         if v != "0"] or ["classic"])
-    extra["place_mode"] = os.environ.get("SSTPU_PLACE", "mm")
+        [m for m, on in (("inv", supernodal_solve._use_inv_solve(1)),
+                         ("coarse", supernodal_solve._use_coarse_solve(1)))
+         if on] or ["classic"])
+    extra["place_mode"] = os.environ.get("SSTPU_PLACE", "auto")
     extra["solve_groups"] = sum(len(gl) for gl in S._device_plan.groups)
     # capacity records measured by demos/capacity.py (BASELINE-class sizes
     # whose cold compile is too slow to re-pay on every driver run)

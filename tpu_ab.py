@@ -43,6 +43,12 @@ CONFIGS = {
     # dispatches. Watch first_call_s vs base_cold AND value (GF/s) parity.
     # Both use FRESH compilation-cache dirs: the persistent cache from
     # earlier configs/rounds would otherwise make first_call_s meaningless.
+    # round-4: tiled extend-add Pallas kernel (kernels/extend_add_tiles.py).
+    # Controlled A/B (fresh runs, n=125k): v1 Ucat+consts 91.7 ms; the v2
+    # direct-feed redesign (per-class BlockSpec quads, parked slots) was
+    # 99.7 ms consts / 101.3 ms args AND 2.7x the compile time — REVERTED.
+    # Args mode itself costs only ~1.6 ms steady; consts stay the default.
+    "tile": {"SSTPU_PLACE": "tile"},
     "base_cold": {"SSTPU_PLACE": "mm",
                   "JAX_COMPILATION_CACHE_DIR": "/tmp/sstpu_cold_base",
                   **_OFF},
