@@ -89,11 +89,23 @@ def timeit(fn, label):
     return best
 
 R_CUT = int(os.environ.get("PROF_RCUT", "1024"))
-t_full = timeit(make_fn(lambda g: True), "full")
-t_nobig = timeit(make_fn(lambda g: g.R < R_CUT), f"pairs only R<{R_CUT}")
-t_nosmall = timeit(make_fn(lambda g: g.R >= R_CUT), f"pairs only R>={R_CUT}")
-t_none = timeit(make_fn(lambda g: False), "no pairs")
-print(f"=> big placement ~{(t_full-t_nobig)*1e3:.1f} ms, "
-      f"small ~{(t_full-t_nosmall)*1e3:.1f} ms, "
-      f"all-pairs ~{(t_full-t_none)*1e3:.1f} ms, "
-      f"base (syrk/potrf/scatter) ~{t_none*1e3:.1f} ms", flush=True)
+ONLY = os.environ.get("PROF_ONLY", "").split(",") if \
+    os.environ.get("PROF_ONLY") else None
+CONFIGS = {
+    "full": lambda g: True,
+    "nobig": lambda g: g.R < R_CUT,
+    "nosmall": lambda g: g.R >= R_CUT,
+    "none": lambda g: False,
+}
+res = {}
+for name, pred in CONFIGS.items():
+    if ONLY is not None and name not in ONLY:
+        continue
+    res[name] = timeit(make_fn(pred), name)
+if ONLY is None:
+    t_full, t_nobig = res["full"], res["nobig"]
+    t_nosmall, t_none = res["nosmall"], res["none"]
+    print(f"=> big placement ~{(t_full-t_nobig)*1e3:.1f} ms, "
+          f"small ~{(t_full-t_nosmall)*1e3:.1f} ms, "
+          f"all-pairs ~{(t_full-t_none)*1e3:.1f} ms, "
+          f"base (syrk/potrf/scatter) ~{t_none*1e3:.1f} ms", flush=True)

@@ -16,9 +16,17 @@ span at most two 128-aligned child blocks each. A manifest enumerates, per
 parent tile, the (child block quad, in-tile placement map) pieces; the
 kernel walks the manifest with the parent tile resident in VMEM:
 
-  * parent F tiles are visited once, in sorted order — consecutive manifest
-    steps with the same tile index keep the output block resident (grid
-    revisit accumulation), so F moves through HBM exactly twice;
+  * parent F tiles WITH contributions are visited once, in sorted order —
+    consecutive manifest steps with the same tile index keep the output
+    block resident (grid revisit accumulation). The F input is DONATED to
+    the output (``input_output_aliases``), so tiles with no contributions
+    are never visited at all and keep their assembled-A content in place:
+    at n=125k this removed 10,590 of 25,919 grid steps (the measured cost
+    is ~1.7 us/STEP, content-independent — the grid is step-bound). The
+    alias is race-free because visited tiles strictly increase (a tile's
+    input fetch never overlaps another tile's writeback at the same
+    address; probed on v5e incl. revisit accumulation and unvisited-tile
+    preservation);
   * the 4 child blocks arrive via manifest-driven BlockSpec index maps
     (hardware-aligned, auto-pipelined; Mosaic rejects unaligned DMA);
   * in-tile placement is two one-hot matmuls per quadrant pair at
@@ -60,6 +68,14 @@ class TileManifest:
 # manifest columns:
 #   0 slot  1 tr  2 tc  3 init  4 has_piece
 #   5 uslot 6 blkr 7 blkr2 8 blkc 9 blkc2
+#
+# Measured step-cost facts (v5e, n=125k, AB_RESULTS/NOTES round 4): the
+# grid runs ~2.5 us/piece-step and is bound by the fixed grid machinery +
+# the 6 pipelined placement dots, NOT by the quad DMA bytes (parking
+# span-1 pieces' unused high quads on a constant all-zero slot: no change)
+# and NOT by dot count alone (branching the dead dots out with pl.when:
+# 90.8 -> 108.8 ms — scalar branches kill Mosaic's pipelining; keep the
+# kernel BRANCH-FREE).
 
 
 def _class_tiles(iv: np.ndarray, T: int):
@@ -119,20 +135,19 @@ def build_group_manifest(g, T: int = TILE, ru_min_frac: float = 0.5):
                         .append((uslot, br, br2, bc, bc2, rm, cm))
 
     man, rmaps, cmaps = [], [], []
-    blank = np.full(T, -1, np.int32)
+    # tiles with NO pieces are never visited: the F input is aliased into
+    # the output, so their assembled-A content survives untouched
     for slot in range(g.B):
         for tr in range(nrt):
             for tc in range(tr + 1):
                 ps = piece_by_tile.get((slot, tr, tc), ())
-                if not ps:
-                    man.append([slot, tr, tc, 1, 0, 0, 0, 0, 0, 0])
-                    rmaps.append(blank)
-                    cmaps.append(blank)
                 for i, (u, br, br2, bc, bc2, rm, cm) in enumerate(ps):
                     man.append([slot, tr, tc, 1 if i == 0 else 0, 1,
                                 u, br, br2, bc, bc2])
                     rmaps.append(rm)
                     cmaps.append(cm)
+    if not man:
+        return None
     return TileManifest(man=np.asarray(man, np.int32),
                         rowmap=np.stack(rmaps)[:, None, :],
                         colmap=np.stack(cmaps)[:, None, :],
@@ -157,9 +172,7 @@ def _kernel(man, rm_ref, cm_ref, fin, ull, ulh, uhl, uhh, fout):
         cm = cm_ref[0, 0, :]
         iota = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
         prl = (rm[:, None] == iota).astype(jnp.float32)
-        prh = ((rm[:, None] - T) == iota).astype(jnp.float32)
         pcl = (cm[:, None] == iota).astype(jnp.float32)
-        pch = ((cm[:, None] - T) == iota).astype(jnp.float32)
         hp = jax.lax.Precision.HIGHEST
 
         def dot(a, b, tb=False):
@@ -174,6 +187,8 @@ def _kernel(man, rm_ref, cm_ref, fin, ull, ulh, uhl, uhh, fout):
             v = u[0]
             return jnp.where(jnp.isfinite(v), v, 0.0)
 
+        prh = ((rm[:, None] - T) == iota).astype(jnp.float32)
+        pch = ((cm[:, None] - T) == iota).astype(jnp.float32)
         half_l = dot(prl, clean(ull)) + dot(prh, clean(uhl))
         half_h = dot(prl, clean(ulh)) + dot(prh, clean(uhh))
         fout[...] += (dot(half_l, pcl, tb=True)
@@ -211,5 +226,9 @@ def extend_add_tiles(F, Ucat, man, rowmap, colmap, interpret: bool = False):
     return pl.pallas_call(
         _kernel, grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct(F.shape, jnp.float32),
+        # donate F into the output: unvisited tiles keep their content in
+        # place (alias keys count the scalar-prefetch operand: man=0,
+        # rowmap=1, colmap=2, F=3)
+        input_output_aliases={3: 0},
         interpret=interpret,
     )(man, rowmap, colmap, F, Ucat, Ucat, Ucat, Ucat)

@@ -501,9 +501,16 @@ def _augment_pairs(plan: "Plan") -> None:
     size) fall back to the cost-model choice."""
     # DEFAULT auto since the round-4 TPU A/B (AB_RESULTS.jsonl place_auto
     # vs base, v5e n=125k): factor 101.1 -> 97.2 ms, residual equal; mm
-    # remains the GSPMD-safe form the sharded path forces
+    # remains the GSPMD-safe form the sharded path forces.
+    # On a TPU backend, auto ALSO builds the tiled extend-add manifests
+    # (round-4 controlled A/B: 97.2 -> 91.7 ms at n=125k, residual equal);
+    # off-TPU the kernel only runs in interpret mode (tests force it via
+    # SSTPU_PLACE=tile + SSTPU_PALLAS=1), so auto skips the manifest cost.
     mode = os.environ.get("SSTPU_PLACE", "auto")
     tile_mode = mode == "tile"
+    if mode == "auto":
+        import jax
+        tile_mode = jax.default_backend() == "tpu"
     if tile_mode:
         mode = "auto"      # non-folded classes use the cost model
     gid_B = {}
@@ -589,7 +596,14 @@ def _augment_pairs(plan: "Plan") -> None:
             if tile_mode and g.R >= int(os.environ.get("SSTPU_TILE_RMIN",
                                                        "256")):
                 from ..kernels.extend_add_tiles import build_group_manifest
-                g._tile = build_group_manifest(g)
+                # SSTPU_TILE_BIG: R threshold for 256x256 tiles. MEASURED
+                # OFF by default: the grid is step-bound (~1.7 us/step) and
+                # at T=128 the in-tile one-hot dots (T^3 MXU work) hide
+                # under that floor, but at T=256 they are 8x and dominate —
+                # T=256 at R>=2048 benched 97.4 vs 91.7 ms at n=125k.
+                Tbig = int(os.environ.get("SSTPU_TILE_BIG", "0") or 0)
+                g._tile = build_group_manifest(
+                    g, T=256 if (Tbig and g.R >= Tbig) else 128)
     if tile_mode:
         _mark_symmetrize(plan)
 
@@ -782,6 +796,14 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
     # strategies below.
     tm = getattr(g, "_tile", None)
     skip = ()
+    # SSTPU_EA_MODE: timing-ablation knob (numerically wrong except "full"):
+    # "off" = no extend-add at all (the syrk/potrf/scatter base),
+    # "tileonly" = tile kernel only, every XLA pair class skipped — the
+    # difference against "full" prices the non-folded classes.
+    ea_mode = os.environ.get("SSTPU_EA_MODE", "full")
+    if ea_mode == "off":
+        tm = None
+        skip = set(range(len(g.pairs)))
     if tm is not None and cstr is None and "tile" in ix:
         use_tile, interp = _tile_runtime(dtype, udtype)
         if use_tile:
@@ -795,6 +817,8 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
             F = extend_add_tiles(F, Ucat, man, rmp, cmp_,
                                  interpret=interp)
             skip = set(tm.folded)
+    if ea_mode == "tileonly":
+        skip = set(range(len(g.pairs)))
 
     # extend-add: child update blocks placed by the per-class strategy
     # chosen at plan time (_augment_pairs): exact row gathers / masked
