@@ -86,12 +86,14 @@ def _class_tiles(iv: np.ndarray, T: int):
     return tiles, bounds
 
 
-def build_group_manifest(g, T: int = TILE, ru_min_frac: float = 0.5):
+def build_group_manifest(g, T: int = TILE, ru_min_frac: float = 0.5,
+                         npiece: int = 1):
     """Build the tile manifest for one GroupPlan, or None if nothing folds.
 
     Folds a pair class iff RU_c >= ru_min_frac * RUp (zero-padding every
     child to the largest folded size must not dominate); remaining classes
-    keep their XLA placement strategy.
+    keep their XLA placement strategy.  ``npiece=2`` merges consecutive
+    same-tile pieces into two-piece grid steps (see _pair_manifest).
     """
     R = g.R
     if not g.pairs:
@@ -148,9 +150,48 @@ def build_group_manifest(g, T: int = TILE, ru_min_frac: float = 0.5):
                     cmaps.append(cm)
     if not man:
         return None
+    if npiece == 2:
+        return _pair_manifest(man, rmaps, cmaps, T, RUp, k0, uslices, folded)
     return TileManifest(man=np.asarray(man, np.int32),
                         rowmap=np.stack(rmaps)[:, None, :],
                         colmap=np.stack(cmaps)[:, None, :],
+                        RUp=RUp, nslots=k0, uslices=uslices, folded=folded)
+
+
+def _pair_manifest(man, rmaps, cmaps, T, RUp, k0, uslices, folded):
+    """Merge consecutive same-tile pieces into TWO-PIECE steps.
+
+    At n=125k the pieces-per-visited-tile histogram is {1: 3.9k, 2: 7.8k,
+    3: 210} — pairing cuts the grid 20,179 -> 12,160 steps while the
+    measured cost is step-bound (~2 us/step fixed machinery). The second
+    piece of an odd tail is DEAD: its row/col maps are all -1, so both its
+    low and high one-hots are exactly zero and the 6 extra dots contribute
+    exact zeros — branch-free (pl.when dead-dot skipping measured 90.8 ->
+    108.8 ms; scalar branches kill Mosaic's pipelining).
+
+    Two-piece manifest columns (14):
+      0 slot  1 tr  2 tc  3 init
+      4 u0  5 br0  6 br20  7 bc0  8 bc20
+      9 u1 10 br1 11 br21 12 bc1 13 bc21
+    """
+    dead = np.full(T, -1, np.int32)
+    man2, rm2, cm2 = [], [], []
+    i = 0
+    while i < len(man):
+        a = man[i]
+        if i + 1 < len(man) and man[i + 1][:3] == a[:3]:
+            b = man[i + 1]
+            man2.append(a[:4] + a[5:] + b[5:])
+            rm2.append(np.stack([rmaps[i], rmaps[i + 1]]))
+            cm2.append(np.stack([cmaps[i], cmaps[i + 1]]))
+            i += 2
+        else:
+            man2.append(a[:4] + a[5:] + [0, 0, 0, 0, 0])
+            rm2.append(np.stack([rmaps[i], dead]))
+            cm2.append(np.stack([cmaps[i], dead]))
+            i += 1
+    return TileManifest(man=np.asarray(man2, np.int32),
+                        rowmap=np.stack(rm2), colmap=np.stack(cm2),
                         RUp=RUp, nslots=k0, uslices=uslices, folded=folded)
 
 
@@ -195,12 +236,57 @@ def _kernel(man, rm_ref, cm_ref, fin, ull, ulh, uhl, uhh, fout):
                       + dot(half_h, pch, tb=True))[None]
 
 
+def _kernel2(man, rm_ref, cm_ref, fin,
+             all0, alh0, ahl0, ahh0, all1, alh1, ahl1, ahh1, fout):
+    """Two pieces per grid step, 12 unconditional dots (see _pair_manifest).
+
+    A dead second piece has all-(-1) maps: both of its one-hots are exactly
+    zero, so its 6 dots add exact fp32 zeros — no scalar branches."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    s = pl.program_id(0)
+    T = fout.shape[-1]
+
+    @pl.when(man[s, 3] == 1)
+    def _():
+        fout[...] = fin[...]
+
+    iota = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    hp = jax.lax.Precision.HIGHEST
+
+    def dot(a, b, tb=False):
+        dn = (((1,), (1 if tb else 0,)), ((), ()))
+        return jax.lax.dot_general(a, b, dn, precision=hp,
+                                   preferred_element_type=jnp.float32)
+
+    def clean(u):
+        v = u[0]
+        return jnp.where(jnp.isfinite(v), v, 0.0)
+
+    def piece(p, ull, ulh, uhl, uhh):
+        rm = rm_ref[0, p, :]
+        cm = cm_ref[0, p, :]
+        prl = (rm[:, None] == iota).astype(jnp.float32)
+        pcl = (cm[:, None] == iota).astype(jnp.float32)
+        prh = ((rm[:, None] - T) == iota).astype(jnp.float32)
+        pch = ((cm[:, None] - T) == iota).astype(jnp.float32)
+        half_l = dot(prl, clean(ull)) + dot(prh, clean(uhl))
+        half_h = dot(prl, clean(ulh)) + dot(prh, clean(uhh))
+        return dot(half_l, pcl, tb=True) + dot(half_h, pch, tb=True)
+
+    fout[...] += (piece(0, all0, alh0, ahl0, ahh0)
+                  + piece(1, all1, alh1, ahl1, ahh1))[None]
+
+
 def extend_add_tiles(F, Ucat, man, rowmap, colmap, interpret: bool = False):
     """F (B, R, R) fp32 + manifest-driven extend-add of Ucat (K, RUp, RUp).
 
     Returns F with every LOWER tile assembled; upper-tile contents are
     unspecified (no consumer reads them — see module docstring).
-    """
+    ``man.shape[1]`` selects the variant: 10 = one piece per step,
+    14 = two pieces per step (maps shaped (NS, 2, T))."""
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -208,6 +294,42 @@ def extend_add_tiles(F, Ucat, man, rowmap, colmap, interpret: bool = False):
 
     NS = man.shape[0]
     T = rowmap.shape[-1]
+    if man.shape[1] == 14:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(NS,),
+            in_specs=[
+                pl.BlockSpec((1, 2, T), lambda s, m: (s, 0, 0)),
+                pl.BlockSpec((1, 2, T), lambda s, m: (s, 0, 0)),
+                pl.BlockSpec((1, T, T),
+                             lambda s, m: (m[s, 0], m[s, 1], m[s, 2])),
+                pl.BlockSpec((1, T, T),
+                             lambda s, m: (m[s, 4], m[s, 5], m[s, 7])),
+                pl.BlockSpec((1, T, T),
+                             lambda s, m: (m[s, 4], m[s, 5], m[s, 8])),
+                pl.BlockSpec((1, T, T),
+                             lambda s, m: (m[s, 4], m[s, 6], m[s, 7])),
+                pl.BlockSpec((1, T, T),
+                             lambda s, m: (m[s, 4], m[s, 6], m[s, 8])),
+                pl.BlockSpec((1, T, T),
+                             lambda s, m: (m[s, 9], m[s, 10], m[s, 12])),
+                pl.BlockSpec((1, T, T),
+                             lambda s, m: (m[s, 9], m[s, 10], m[s, 13])),
+                pl.BlockSpec((1, T, T),
+                             lambda s, m: (m[s, 9], m[s, 11], m[s, 12])),
+                pl.BlockSpec((1, T, T),
+                             lambda s, m: (m[s, 9], m[s, 11], m[s, 13])),
+            ],
+            out_specs=pl.BlockSpec((1, T, T),
+                                   lambda s, m: (m[s, 0], m[s, 1], m[s, 2])),
+        )
+        return pl.pallas_call(
+            _kernel2, grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(F.shape, jnp.float32),
+            input_output_aliases={3: 0},
+            interpret=interpret,
+        )(man, rowmap, colmap, F,
+          Ucat, Ucat, Ucat, Ucat, Ucat, Ucat, Ucat, Ucat)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NS,),

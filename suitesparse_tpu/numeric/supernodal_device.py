@@ -602,8 +602,20 @@ def _augment_pairs(plan: "Plan") -> None:
                 # under that floor, but at T=256 they are 8x and dominate —
                 # T=256 at R>=2048 benched 97.4 vs 91.7 ms at n=125k.
                 Tbig = int(os.environ.get("SSTPU_TILE_BIG", "0") or 0)
+                # SSTPU_TILE_PAIR: two pieces per grid step (12 branch-free
+                # dots, dead tail piece = all-(-1) maps -> exact-zero
+                # one-hots). Cuts the step-bound grid ~40% at n=125k
+                # (pieces-per-tile histogram {1: 3.9k, 2: 7.8k, 3: 210}).
+                npiece = 2 if os.environ.get("SSTPU_TILE_PAIR",
+                                             "0") == "1" else 1
+                # SSTPU_TILE_FRAC: fold a class iff RU_c >= frac * RUp.
+                # At n=125k frac=0 folds EVERY class of every R>=256 group
+                # into the kernel for +1% steps / +1% Ucat cells (the
+                # per-class XLA strategies each touch R^2 on big fronts).
+                frac = float(os.environ.get("SSTPU_TILE_FRAC", "0.5"))
                 g._tile = build_group_manifest(
-                    g, T=256 if (Tbig and g.R >= Tbig) else 128)
+                    g, T=256 if (Tbig and g.R >= Tbig) else 128,
+                    ru_min_frac=frac, npiece=npiece)
     if tile_mode:
         _mark_symmetrize(plan)
 
