@@ -609,10 +609,14 @@ def _augment_pairs(plan: "Plan") -> None:
                 npiece = 2 if os.environ.get("SSTPU_TILE_PAIR",
                                              "0") == "1" else 1
                 # SSTPU_TILE_FRAC: fold a class iff RU_c >= frac * RUp.
-                # At n=125k frac=0 folds EVERY class of every R>=256 group
-                # into the kernel for +1% steps / +1% Ucat cells (the
-                # per-class XLA strategies each touch R^2 on big fronts).
-                frac = float(os.environ.get("SSTPU_TILE_FRAC", "0.5"))
+                # frac=0 folds EVERY class of every R>=256 group into the
+                # kernel for +1% steps / +1% Ucat cells (the per-class XLA
+                # strategies each touch R^2 on big fronts). DEFAULT per the
+                # round-4 A/B (AB_RESULTS.jsonl, n=125k): tile_frac0
+                # 89.5 ms / 1097 GF/s vs tile 91-101, tile_pair 91.8,
+                # tile_pair_frac0 92.7 — fold-all wins alone; two-piece
+                # steps (SSTPU_TILE_PAIR=1) stay opt-in.
+                frac = float(os.environ.get("SSTPU_TILE_FRAC", "0"))
                 g._tile = build_group_manifest(
                     g, T=256 if (Tbig and g.R >= Tbig) else 128,
                     ru_min_frac=frac, npiece=npiece)

@@ -66,9 +66,51 @@ def _use_inv_solve(nrhs: int) -> bool:
     return _mode_policy("SSTPU_SOLVE_INV", nrhs)
 
 
-def build_winv(splan: "SolvePlan", Lx, dtype):
+def _use_bmv(B: int, C: int, RU: int, nrhs: int) -> bool:
+    """Lane-batched matvec kernel policy (SSTPU_SOLVE_BMV=auto|1|0) for
+    one solve group on the inverse-panel path: the kernel stores panels
+    lanes=batch so small-C groups stream at full HBM rate instead of
+    XLA's ~37 GB/s lane-padded batched matvec (see kernels/bmatvec.py).
+    Worth it when the batch fills lanes (B >= SSTPU_BMV_BMIN) and the
+    RHS count is in the latency regime."""
+    import os
+
+    from ..kernels.bmatvec import bmv_fits
+
+    mode = os.environ.get("SSTPU_SOLVE_BMV", "0")
+    if mode == "0" or (mode != "1" and not _mode_policy("SSTPU_SOLVE_BMV",
+                                                        nrhs)):
+        return False
+    if B < int(os.environ.get("SSTPU_BMV_BMIN", "32")) or nrhs > 8:
+        return False
+    return bmv_fits(C, C, B, nrhs) and (RU == 0 or bmv_fits(RU, C, B, nrhs))
+
+
+def _to_lanes(x, Bp: int, rows_pad: int | None = None):
+    """(B, R, NR) -> (rows_pad or R, NR, Bp) lane-major, zero padded."""
+    import jax.numpy as jnp
+
+    B, R, NR = x.shape
+    xt = jnp.transpose(x, (1, 2, 0))
+    return jnp.pad(xt, (((0, (rows_pad or R) - R), (0, 0), (0, Bp - B))))
+
+
+def _from_lanes(zt, B: int, R: int):
+    """(Rpad, NR, Bp) -> (B, R, NR)."""
+    import jax.numpy as jnp
+
+    return jnp.transpose(zt[:R, :, :B], (2, 0, 1))
+
+
+def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1):
     """W[d][gi] = L11^{-1} for every solve group (identity on padded
     rows/cols, so padded columns pass through exactly like the trisolve).
+
+    Per group the entry is a 1-tuple ``(W,)`` with W (B, C, C) for the
+    XLA matmul path, or — when the lane-batched kernel is eligible
+    (_use_bmv) — a 2-tuple ``(Wt, L21t)`` of lane-major panels padded
+    per kernels/bmatvec.bmv_pad (the same stored panels serve both
+    sweeps: forward applies M, backward M^T).
 
     One jitted batched triangular solve per group; runs once per factor.
     The compiled builder is cached on the SolvePlan so the factor-many
@@ -76,28 +118,46 @@ def build_winv(splan: "SolvePlan", Lx, dtype):
     import jax
     import jax.numpy as jnp
 
+    from ..kernels.bmatvec import bmv_pad
+
     cached = getattr(splan, "_winv_builders", None)
     if cached is None:
         cached = {}
         splan._winv_builders = cached
-    build = cached.get(str(dtype))
+    bmv = tuple(_use_bmv(sg.B, sg.C, sg.R - sg.C, nrhs)
+                for sglist in splan.groups for sg in sglist)
+    build = cached.get((str(dtype), bmv))
     if build is None:
         @jax.jit
         def build(lx):
             Lxp = jnp.concatenate([lx.astype(dtype),
                                    jnp.zeros(1, dtype=dtype)])
             out = []
+            k = iter(bmv)
             for sglist in splan.groups:
                 row = []
                 for sg in sglist:
-                    L11, _ = _group_panels(Lxp, sg, dtype)
+                    L11, L21 = _group_panels(Lxp, sg, dtype)
                     eye = jnp.broadcast_to(jnp.eye(sg.C, dtype=dtype),
                                            (sg.B, sg.C, sg.C))
-                    row.append(jax.lax.linalg.triangular_solve(
-                        L11, eye, left_side=True, lower=True))
+                    W = jax.lax.linalg.triangular_solve(
+                        L11, eye, left_side=True, lower=True)
+                    if not next(k):
+                        row.append((W,))
+                        continue
+                    B, C = sg.B, sg.C
+                    RU = sg.R - C
+                    Cpad, Bp = bmv_pad(C, C, B)
+                    Wt = _to_lanes(W, Bp, rows_pad=Cpad)
+                    if RU > 0:
+                        RUpad, _ = bmv_pad(RU, C, B)
+                        L21t = _to_lanes(L21, Bp, rows_pad=RUpad)
+                    else:
+                        L21t = jnp.zeros((8, C, Bp), dtype)
+                    row.append((Wt, L21t))
                 out.append(row)
             return out
-        cached[str(dtype)] = build
+        cached[(str(dtype), bmv)] = build
 
     return build(Lx)
 
@@ -670,8 +730,18 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                 w = w.at[dst].add(placed, indices_are_sorted=True)
             yc = pb[sg.col_idx].reshape(B, C, nrhs) - w[:, :C, :]
             L11, L21 = panels_of(sg)
-            if winv is not None:
-                xc = jnp.matmul(winv[d][gi], yc,
+            if winv is not None and len(winv[d][gi]) == 2:
+                from ..kernels.bmatvec import bmatvec_t
+                Wt, L21t = winv[d][gi]
+                Bp = Wt.shape[2]
+                xct = bmatvec_t(Wt, _to_lanes(yc, Bp))
+                xc = _from_lanes(xct, B, C)
+                yfwd[(d, gi)] = xc
+                if RU > 0:
+                    vt = bmatvec_t(L21t, xct[:C])
+                    up[(d, gi)] = _from_lanes(vt, B, RU) + w[:, C:, :]
+            elif winv is not None:
+                xc = jnp.matmul(winv[d][gi][0], yc,
                                 preferred_element_type=dtype)
                 yfwd[(d, gi)] = xc
                 if RU > 0:
@@ -704,12 +774,25 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                 below = jnp.zeros((B, max(RU, 1), nrhs), dtype=dtype)
             yc = yfwd[(d, gi)]
             L11, L21 = panels_of(sg)
-            if winv is not None:
+            if winv is not None and len(winv[d][gi]) == 2:
+                from ..kernels.bmatvec import bmatvec_t
+                Wt, L21t = winv[d][gi]
+                Bp, Cpad = Wt.shape[2], Wt.shape[0]
+                yct = _to_lanes(yc, Bp)
+                if RU > 0:
+                    bt = _to_lanes(below[:, :RU], Bp,
+                                   rows_pad=L21t.shape[0])
+                    yct = yct - bmatvec_t(L21t, bt, transpose=True)
+                if Cpad > C:
+                    yct = jnp.pad(yct, ((0, Cpad - C), (0, 0), (0, 0)))
+                xct = bmatvec_t(Wt, yct, transpose=True)
+                xc = _from_lanes(xct, B, C)
+            elif winv is not None:
                 if RU > 0:
                     yc = yc - jnp.matmul(jnp.swapaxes(L21, 1, 2),
                                          below[:, :RU],
                                          preferred_element_type=dtype)
-                xc = jnp.matmul(jnp.swapaxes(winv[d][gi], 1, 2), yc,
+                xc = jnp.matmul(jnp.swapaxes(winv[d][gi][0], 1, 2), yc,
                                 preferred_element_type=dtype)
             elif RU > 0 and _use_step_kernel(dtype, B, C, RU, nrhs):
                 from ..kernels.solve_step import solve_step_bwd
@@ -881,11 +964,15 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
         if use_inv:
             # inverse panels cached per factor VALUES (device arrays are
             # immutable; a refactorization makes a fresh Lx object)
+            import os
+            wkey = (str(dtype), pkey, bb.shape[1],
+                    os.environ.get("SSTPU_SOLVE_BMV", "auto"),
+                    os.environ.get("SSTPU_BMV_BMIN", "32"))
             wcache = getattr(F, "_winv", None)
-            if (wcache is None or wcache[0] != (str(dtype), pkey)
+            if (wcache is None or wcache[0] != wkey
                     or wcache[1] is not F.Lx):
-                wv = build_winv(plan, lx_in, dtype)
-                F._winv = ((str(dtype), pkey), F.Lx, wv)
+                wv = build_winv(plan, lx_in, dtype, nrhs=bb.shape[1])
+                F._winv = (wkey, F.Lx, wv)
             args = (lx_in, jnp.asarray(pbp), F._winv[2])
         else:
             args = (lx_in, jnp.asarray(pbp))

@@ -49,6 +49,19 @@ CONFIGS = {
     # 99.7 ms consts / 101.3 ms args AND 2.7x the compile time — REVERTED.
     # Args mode itself costs only ~1.6 ms steady; consts stay the default.
     "tile": {"SSTPU_PLACE": "tile"},
+    # round-4 session-3: two-piece grid steps (12 branch-free dots/step,
+    # dead tail piece = all-(-1) maps) cut the step-bound grid 20.2k ->
+    # 12.2k steps at n=125k; frac=0 folds every class of every R>=256
+    # group (kills the 13.4 ms non-folded XLA classes) for +199 steps.
+    "tile_pair": {"SSTPU_PLACE": "tile", "SSTPU_TILE_PAIR": "1"},
+    "tile_frac0": {"SSTPU_PLACE": "tile", "SSTPU_TILE_FRAC": "0"},
+    "tile_pair_frac0": {"SSTPU_PLACE": "tile", "SSTPU_TILE_PAIR": "1",
+                        "SSTPU_TILE_FRAC": "0"},
+    # round-4: lane-batched matvec solve kernel (kernels/bmatvec.py) on
+    # the inverse-panel path — attacks the ~37 GB/s XLA batched-matvec
+    # half of the 9.9 ms solve (watch solve_s; factor must not move).
+    "bmv": {"SSTPU_SOLVE_BMV": "1"},
+    "bmv48": {"SSTPU_SOLVE_BMV": "1", "SSTPU_BMV_BMIN": "48"},
     "base_cold": {"SSTPU_PLACE": "mm",
                   "JAX_COMPILATION_CACHE_DIR": "/tmp/sstpu_cold_base",
                   **_OFF},
