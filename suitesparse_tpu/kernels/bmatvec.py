@@ -39,31 +39,49 @@ _LANES = 128
 _VMEM_BLOCK = 2 * 1024 * 1024   # target panel-block bytes per grid step
 
 
-def _iblk(I: int, J: int, itemsize: int) -> int:
-    """Panel rows per grid step: the largest multiple of 8 whose block
-    stays under the VMEM target (>= 8 so sublane tiles stay aligned).
-    Depends on I only through "the whole (padded) panel fits in one
-    block" so bmv_pad and _build always agree."""
+def _geom(I: int, J: int, B: int, itemsize: int):
+    """(ib, bb): panel rows and lanes per grid step. Each step's panel
+    block targets ~_VMEM_BLOCK bytes so the grid is bandwidth-bound, not
+    step-bound (the ~2 us/step DMA floor would cap tiny C*C blocks at
+    tens of GB/s). Small panels widen the LANE block (bb up to 4096,
+    Mosaic tiles minors > 128 internally); big panels block rows instead.
+    Depends on I/B only through "fits one block" / "fewer lanes than the
+    target" so bmv_pad and _build always agree on padded shapes."""
     rows = _VMEM_BLOCK // max(1, J * _LANES * itemsize)
     rows = max(8, rows // 8 * 8)
-    if I <= rows:
-        return -(-I // 8) * 8
-    return rows
+    if I > rows:
+        return rows, _LANES
+    ib = -(-I // 8) * 8
+    bb = _VMEM_BLOCK // max(1, ib * J * itemsize)
+    bb = max(_LANES, min(4096, bb // _LANES * _LANES))
+    bb = min(bb, -(-B // _LANES) * _LANES)
+    return ib, bb
 
 
 def bmv_fits(I: int, J: int, B: int, NR: int, itemsize: int = 4) -> bool:
     """VMEM feasibility: one panel block + X + Z + product scratch."""
-    ib = _iblk(max(I, 8), J, itemsize)
-    blk = ib * J * _LANES * itemsize
-    xz = (J + ib) * max(NR, 8) * _LANES * itemsize
+    ib, bb = _geom(max(I, 8), J, B, itemsize)
+    blk = ib * J * bb * itemsize
+    xz = (J + ib) * max(NR, 8) * bb * itemsize
     # product intermediate is another block; x2 for double buffering
     return 2 * blk + blk + xz < 96 * 1024 * 1024
 
 
 def bmv_pad(I: int, J: int, B: int, itemsize: int = 4):
     """(I_pad, B_pad) the caller must pre-pad panels to (zero fill)."""
-    ib = _iblk(max(I, 8), J, itemsize)
-    return -(-max(I, 8) // ib) * ib, -(-B // _LANES) * _LANES
+    ib, bb = _geom(max(I, 8), J, B, itemsize)
+    return -(-max(I, 8) // ib) * ib, -(-B // bb) * bb
+
+
+def bmv_group_geom(panels, B: int, itemsize: int = 4):
+    """Shared geometry for the panels of ONE solve group, whose kernels
+    exchange lane-major vectors and therefore must agree on the lane
+    block: ([I_pad per panel], B_pad, bb = min lane block)."""
+    geo = [_geom(max(I, 8), J, B, itemsize) for I, J in panels]
+    bb = min(g[1] for g in geo)
+    ipads = [-(-max(I, 8) // g[0]) * g[0]
+             for (I, J), g in zip(panels, geo)]
+    return ipads, -(-B // bb) * bb, bb
 
 
 def _fwd_kernel(mt, xt, zt, *, NR):
@@ -90,7 +108,7 @@ def _bwd_kernel(mt, xt, zt, *, NR):
 
 
 @functools.lru_cache(maxsize=None)
-def _build(I: int, J: int, Bp: int, NR: int, transpose: bool,
+def _build(I: int, J: int, Bp: int, NR: int, transpose: bool, bb: int,
            dtype_name: str, interpret: bool):
     import jax
     import jax.numpy as jnp
@@ -98,22 +116,22 @@ def _build(I: int, J: int, Bp: int, NR: int, transpose: bool,
     from jax.experimental.pallas import tpu as pltpu
 
     dtype = jnp.dtype(dtype_name)
-    ib = _iblk(I, J, dtype.itemsize)
-    ni, nb = I // ib, Bp // _LANES
+    ib = _geom(I, J, Bp, dtype.itemsize)[0]
+    ni, nb = I // ib, Bp // bb
     out_rows = J if transpose else I
 
     if transpose:
         kern = functools.partial(_bwd_kernel, NR=NR)
         # X rides the I axis; Z (J, NR, -) accumulates across I steps
-        x_spec = pl.BlockSpec((ib, NR, _LANES), lambda b, i: (i, 0, b),
+        x_spec = pl.BlockSpec((ib, NR, bb), lambda b, i: (i, 0, b),
                               memory_space=pltpu.VMEM)
-        z_spec = pl.BlockSpec((J, NR, _LANES), lambda b, i: (0, 0, b),
+        z_spec = pl.BlockSpec((J, NR, bb), lambda b, i: (0, 0, b),
                               memory_space=pltpu.VMEM)
     else:
         kern = functools.partial(_fwd_kernel, NR=NR)
-        x_spec = pl.BlockSpec((J, NR, _LANES), lambda b, i: (0, 0, b),
+        x_spec = pl.BlockSpec((J, NR, bb), lambda b, i: (0, 0, b),
                               memory_space=pltpu.VMEM)
-        z_spec = pl.BlockSpec((ib, NR, _LANES), lambda b, i: (i, 0, b),
+        z_spec = pl.BlockSpec((ib, NR, bb), lambda b, i: (i, 0, b),
                               memory_space=pltpu.VMEM)
 
     def call(mt, xt):
@@ -121,7 +139,7 @@ def _build(I: int, J: int, Bp: int, NR: int, transpose: bool,
             kern,
             grid=(nb, ni),
             in_specs=[
-                pl.BlockSpec((ib, J, _LANES), lambda b, i: (i, 0, b),
+                pl.BlockSpec((ib, J, bb), lambda b, i: (i, 0, b),
                              memory_space=pltpu.VMEM),
                 x_spec,
             ],
@@ -133,13 +151,16 @@ def _build(I: int, J: int, Bp: int, NR: int, transpose: bool,
     return call
 
 
-def bmatvec_t(Mt, Xt, transpose: bool = False, interpret: bool | None = None):
+def bmatvec_t(Mt, Xt, transpose: bool = False,
+              interpret: bool | None = None, bb: int | None = None):
     """Batched matvec on lane-major panels.
 
-    Mt (I, J, B): panels with batch on the minor (lane) axis, I padded to
-    the row-block multiple and B padded to 128 (see bmv_pad) — zero fill.
-    Xt (J, NR, B) forward / (I, NR, B) transpose. Returns Zt (I, NR, B)
-    forward / (J, NR, B) transpose. NR must be small (the latency path).
+    Mt (I, J, B): panels with batch on the minor (lane) axis, I padded
+    to the row-block multiple and B padded to the lane block (see
+    bmv_pad / bmv_group_geom) — zero fill. Xt (J, NR, B) forward /
+    (I, NR, B) transpose. Returns Zt (I, NR, B) forward / (J, NR, B)
+    transpose. NR must be small (the latency path). ``bb`` is the lane
+    block; panels sharing vectors must pass the group's shared bb.
     """
     import jax
 
@@ -147,8 +168,10 @@ def bmatvec_t(Mt, Xt, transpose: bool = False, interpret: bool | None = None):
     NR = Xt.shape[1]
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
-    assert Bp % _LANES == 0 and I % _iblk(I, J, Mt.dtype.itemsize) == 0, \
-        (I, J, Bp)
+    if bb is None:
+        bb = _geom(I, J, Bp, Mt.dtype.itemsize)[1]
+    assert Bp % bb == 0 and I % _geom(I, J, Bp, Mt.dtype.itemsize)[0] == 0, \
+        (I, J, Bp, bb)
     assert Xt.shape == ((I, NR, Bp) if transpose else (J, NR, Bp))
-    return _build(I, J, Bp, NR, bool(transpose), str(Mt.dtype),
+    return _build(I, J, Bp, NR, bool(transpose), int(bb), str(Mt.dtype),
                   bool(interpret))(Mt, Xt)

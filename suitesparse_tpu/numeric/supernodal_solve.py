@@ -118,7 +118,7 @@ def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1):
     import jax
     import jax.numpy as jnp
 
-    from ..kernels.bmatvec import bmv_pad
+    from ..kernels.bmatvec import bmv_group_geom
 
     cached = getattr(splan, "_winv_builders", None)
     if cached is None:
@@ -147,11 +147,11 @@ def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1):
                         continue
                     B, C = sg.B, sg.C
                     RU = sg.R - C
-                    Cpad, Bp = bmv_pad(C, C, B)
-                    Wt = _to_lanes(W, Bp, rows_pad=Cpad)
+                    pads, Bp, _bb = bmv_group_geom(
+                        ((C, C), (RU, C)) if RU > 0 else ((C, C),), B)
+                    Wt = _to_lanes(W, Bp, rows_pad=pads[0])
                     if RU > 0:
-                        RUpad, _ = bmv_pad(RU, C, B)
-                        L21t = _to_lanes(L21, Bp, rows_pad=RUpad)
+                        L21t = _to_lanes(L21, Bp, rows_pad=pads[1])
                     else:
                         L21t = jnp.zeros((8, C, Bp), dtype)
                     row.append((Wt, L21t))
@@ -731,14 +731,16 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
             yc = pb[sg.col_idx].reshape(B, C, nrhs) - w[:, :C, :]
             L11, L21 = panels_of(sg)
             if winv is not None and len(winv[d][gi]) == 2:
-                from ..kernels.bmatvec import bmatvec_t
+                from ..kernels.bmatvec import bmatvec_t, bmv_group_geom
                 Wt, L21t = winv[d][gi]
                 Bp = Wt.shape[2]
-                xct = bmatvec_t(Wt, _to_lanes(yc, Bp))
+                bb = bmv_group_geom(
+                    ((C, C), (RU, C)) if RU > 0 else ((C, C),), B)[2]
+                xct = bmatvec_t(Wt, _to_lanes(yc, Bp), bb=bb)
                 xc = _from_lanes(xct, B, C)
                 yfwd[(d, gi)] = xc
                 if RU > 0:
-                    vt = bmatvec_t(L21t, xct[:C])
+                    vt = bmatvec_t(L21t, xct[:C], bb=bb)
                     up[(d, gi)] = _from_lanes(vt, B, RU) + w[:, C:, :]
             elif winv is not None:
                 xc = jnp.matmul(winv[d][gi][0], yc,
