@@ -199,7 +199,10 @@ def main() -> None:
     # active solve-mode fingerprint (the A/B knobs change the program)
     extra["solve_mode"] = "+".join(
         [m for m, on in (("inv", supernodal_solve._use_inv_solve(1)),
-                         ("coarse", supernodal_solve._use_coarse_solve(1)))
+                         ("coarse", supernodal_solve._use_coarse_solve(1)),
+                         ("w2", supernodal_solve._use_w2(1)),
+                         ("bmv", os.environ.get("SSTPU_SOLVE_BMV", "0")
+                          not in ("0",)))
          if on] or ["classic"])
     extra["place_mode"] = os.environ.get("SSTPU_PLACE", "auto")
     extra["solve_groups"] = sum(len(gl) for gl in S._device_plan.groups)

@@ -66,13 +66,39 @@ def _use_inv_solve(nrhs: int) -> bool:
     return _mode_policy("SSTPU_SOLVE_INV", nrhs)
 
 
-def _use_bmv(B: int, C: int, RU: int, nrhs: int) -> bool:
+def _use_w2(nrhs: int) -> bool:
+    """Stacked inverse-panel policy (SSTPU_SOLVE_W2=auto|1|0, default 0
+    until the TPU A/B records a win).
+
+    With W = L11^{-1}, precompute the STACKED panel W2 = [W ; L21 @ W]
+    (R x C) once per factor. Then each solve group needs exactly ONE
+    batched matvec per sweep with no intra-group dependency chain:
+
+        forward   [xc ; v] = W2 @ yc          (xc = W yc, v = L21 xc)
+        backward  xc = W2^T @ [yf ; -xb]      (= W^T yf - (L21 W)^T xb)
+
+    — halving the sequential ops of the inverse-panel mode and making
+    panel bytes per sweep exactly R*C (the factor's L21 is no longer
+    read during sweeps). Reference analog: the dtrsv+dgemv pair per
+    supernode in t_cholmod_super_solve.c:89-173 collapsed to one gemv."""
+    import os
+
+    if os.environ.get("SSTPU_SOLVE_W2", "0") == "0":
+        return False
+    return _mode_policy("SSTPU_SOLVE_W2", nrhs)
+
+
+def _use_bmv(B: int, C: int, RU: int, nrhs: int, itemsize: int = 4,
+             R: int | None = None) -> bool:
     """Lane-batched matvec kernel policy (SSTPU_SOLVE_BMV=auto|1|0) for
     one solve group on the inverse-panel path: the kernel stores panels
     lanes=batch so small-C groups stream at full HBM rate instead of
     XLA's ~37 GB/s lane-padded batched matvec (see kernels/bmatvec.py).
     Worth it when the batch fills lanes (B >= SSTPU_BMV_BMIN) and the
-    RHS count is in the latency regime."""
+    RHS count is in the latency regime. With ``R`` (the w2 stacked-panel
+    mode) feasibility is checked on the single (R, C) panel. NOTE:
+    opt-in (default '0') — validated correct on real TPU this round;
+    the recorded A/B verdict lives in AB_RESULTS.jsonl."""
     import os
 
     from ..kernels.bmatvec import bmv_fits
@@ -83,7 +109,10 @@ def _use_bmv(B: int, C: int, RU: int, nrhs: int) -> bool:
         return False
     if B < int(os.environ.get("SSTPU_BMV_BMIN", "32")) or nrhs > 8:
         return False
-    return bmv_fits(C, C, B, nrhs) and (RU == 0 or bmv_fits(RU, C, B, nrhs))
+    if R is not None:
+        return bmv_fits(R, C, B, nrhs, itemsize)
+    return bmv_fits(C, C, B, nrhs, itemsize) and (
+        RU == 0 or bmv_fits(RU, C, B, nrhs, itemsize))
 
 
 def _to_lanes(x, Bp: int, rows_pad: int | None = None):
@@ -102,7 +131,8 @@ def _from_lanes(zt, B: int, R: int):
     return jnp.transpose(zt[:R, :, :B], (2, 0, 1))
 
 
-def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1):
+def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1,
+               w2: bool = False):
     """W[d][gi] = L11^{-1} for every solve group (identity on padded
     rows/cols, so padded columns pass through exactly like the trisolve).
 
@@ -110,7 +140,10 @@ def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1):
     XLA matmul path, or — when the lane-batched kernel is eligible
     (_use_bmv) — a 2-tuple ``(Wt, L21t)`` of lane-major panels padded
     per kernels/bmatvec.bmv_pad (the same stored panels serve both
-    sweeps: forward applies M, backward M^T).
+    sweeps: forward applies M, backward M^T). With ``w2`` (see _use_w2)
+    the entry is a dict ``{"w2": W2}`` holding the stacked panel
+    W2 = [W ; L21 @ W] (B, R, C), or ``{"w2t": W2t, "bb": bb}`` with the
+    lane-major stacked panel when the bmv kernel is eligible.
 
     One jitted batched triangular solve per group; runs once per factor.
     The compiled builder is cached on the SolvePlan so the factor-many
@@ -124,9 +157,15 @@ def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1):
     if cached is None:
         cached = {}
         splan._winv_builders = cached
-    bmv = tuple(_use_bmv(sg.B, sg.C, sg.R - sg.C, nrhs)
-                for sglist in splan.groups for sg in sglist)
-    build = cached.get((str(dtype), bmv))
+    isz = jnp.dtype(dtype).itemsize
+    if w2:
+        bmv = tuple(_use_bmv(sg.B, sg.C, sg.R - sg.C, nrhs, isz,
+                             R=sg.R)
+                    for sglist in splan.groups for sg in sglist)
+    else:
+        bmv = tuple(_use_bmv(sg.B, sg.C, sg.R - sg.C, nrhs, isz)
+                    for sglist in splan.groups for sg in sglist)
+    build = cached.get((str(dtype), bmv, w2))
     if build is None:
         @jax.jit
         def build(lx):
@@ -142,13 +181,30 @@ def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1):
                                            (sg.B, sg.C, sg.C))
                     W = jax.lax.linalg.triangular_solve(
                         L11, eye, left_side=True, lower=True)
-                    if not next(k):
-                        row.append((W,))
-                        continue
+                    use_bmv = next(k)
                     B, C = sg.B, sg.C
                     RU = sg.R - C
+                    if w2:
+                        if RU > 0:
+                            W2 = jnp.concatenate(
+                                [W, jnp.matmul(
+                                    L21, W, preferred_element_type=dtype)],
+                                axis=1)
+                        else:
+                            W2 = W
+                        if not use_bmv:
+                            row.append({"w2": W2})
+                        else:
+                            pads, Bp, bb = bmv_group_geom(
+                                ((sg.R, C),), B, isz)
+                            row.append({"w2t": _to_lanes(
+                                W2, Bp, rows_pad=pads[0])})
+                        continue
+                    if not use_bmv:
+                        row.append((W,))
+                        continue
                     pads, Bp, _bb = bmv_group_geom(
-                        ((C, C), (RU, C)) if RU > 0 else ((C, C),), B)
+                        ((C, C), (RU, C)) if RU > 0 else ((C, C),), B, isz)
                     Wt = _to_lanes(W, Bp, rows_pad=pads[0])
                     if RU > 0:
                         L21t = _to_lanes(L21, Bp, rows_pad=pads[1])
@@ -157,7 +213,7 @@ def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1):
                     row.append((Wt, L21t))
                 out.append(row)
             return out
-        cached[(str(dtype), bmv)] = build
+        cached[(str(dtype), bmv, w2)] = build
 
     return build(Lx)
 
@@ -729,13 +785,34 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                 placed = jnp.matmul(P, V, preferred_element_type=dtype)
                 w = w.at[dst].add(placed, indices_are_sorted=True)
             yc = pb[sg.col_idx].reshape(B, C, nrhs) - w[:, :C, :]
+            if winv is not None and isinstance(winv[d][gi], dict):
+                e = winv[d][gi]
+                if "w2t" in e:
+                    from ..kernels.bmatvec import bmatvec_t, bmv_group_geom
+                    W2t = e["w2t"]
+                    Bp = W2t.shape[2]
+                    bb = bmv_group_geom(((R, C),), B,
+                                        jnp.dtype(dtype).itemsize)[2]
+                    zt = bmatvec_t(W2t, _to_lanes(yc, Bp), bb=bb)
+                    yfwd[(d, gi)] = _from_lanes(zt[:C], B, C)
+                    if RU > 0:
+                        up[(d, gi)] = _from_lanes(zt[C:R], B, RU) \
+                            + w[:, C:, :]
+                else:
+                    z = jnp.matmul(e["w2"], yc,
+                                   preferred_element_type=dtype)
+                    yfwd[(d, gi)] = z[:, :C, :]
+                    if RU > 0:
+                        up[(d, gi)] = z[:, C:, :] + w[:, C:, :]
+                continue
             L11, L21 = panels_of(sg)
             if winv is not None and len(winv[d][gi]) == 2:
                 from ..kernels.bmatvec import bmatvec_t, bmv_group_geom
                 Wt, L21t = winv[d][gi]
                 Bp = Wt.shape[2]
                 bb = bmv_group_geom(
-                    ((C, C), (RU, C)) if RU > 0 else ((C, C),), B)[2]
+                    ((C, C), (RU, C)) if RU > 0 else ((C, C),), B,
+                    jnp.dtype(dtype).itemsize)[2]
                 xct = bmatvec_t(Wt, _to_lanes(yc, Bp), bb=bb)
                 xc = _from_lanes(xct, B, C)
                 yfwd[(d, gi)] = xc
@@ -775,8 +852,25 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
             if below is None:
                 below = jnp.zeros((B, max(RU, 1), nrhs), dtype=dtype)
             yc = yfwd[(d, gi)]
-            L11, L21 = panels_of(sg)
-            if winv is not None and len(winv[d][gi]) == 2:
+            if winv is not None and isinstance(winv[d][gi], dict):
+                e = winv[d][gi]
+                if "w2t" in e:
+                    from ..kernels.bmatvec import bmatvec_t, bmv_group_geom
+                    W2t = e["w2t"]
+                    Bp, Rpad = W2t.shape[2], W2t.shape[0]
+                    bb = bmv_group_geom(((R, C),), B,
+                                        jnp.dtype(dtype).itemsize)[2]
+                    yin = jnp.concatenate([yc, -below[:, :RU]], axis=1) \
+                        if RU > 0 else yc
+                    zt = bmatvec_t(W2t, _to_lanes(yin, Bp, rows_pad=Rpad),
+                                   transpose=True, bb=bb)
+                    xc = _from_lanes(zt, B, C)
+                else:
+                    yin = jnp.concatenate([yc, -below[:, :RU]], axis=1) \
+                        if RU > 0 else yc
+                    xc = jnp.matmul(jnp.swapaxes(e["w2"], 1, 2), yin,
+                                    preferred_element_type=dtype)
+            elif winv is not None and len(winv[d][gi]) == 2:
                 from ..kernels.bmatvec import bmatvec_t
                 Wt, L21t = winv[d][gi]
                 Bp, Cpad = Wt.shape[2], Wt.shape[0]
@@ -790,6 +884,7 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                 xct = bmatvec_t(Wt, yct, transpose=True)
                 xc = _from_lanes(xct, B, C)
             elif winv is not None:
+                L11, L21 = panels_of(sg)
                 if RU > 0:
                     yc = yc - jnp.matmul(jnp.swapaxes(L21, 1, 2),
                                          below[:, :RU],
@@ -798,8 +893,10 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                                 preferred_element_type=dtype)
             elif RU > 0 and _use_step_kernel(dtype, B, C, RU, nrhs):
                 from ..kernels.solve_step import solve_step_bwd
+                L11, L21 = panels_of(sg)
                 xc = solve_step_bwd(L11, L21, yc, below[:, :RU])
             else:
+                L11, L21 = panels_of(sg)
                 if RU > 0:
                     yc = yc - jnp.matmul(jnp.swapaxes(L21, 1, 2),
                                          below[:, :RU],
@@ -967,13 +1064,21 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
             # inverse panels cached per factor VALUES (device arrays are
             # immutable; a refactorization makes a fresh Lx object)
             import os
-            wkey = (str(dtype), pkey, bb.shape[1],
-                    os.environ.get("SSTPU_SOLVE_BMV", "auto"),
+            # the stacked W2 panel doubles the per-factor device footprint
+            # (a full extra R*C copy) — gate at capacity sizes like coarse
+            use_w2 = (_use_w2(bb.shape[1])
+                      and S._device_plan.dev_size <= int(float(
+                          os.environ.get("SSTPU_W2_MAX_CELLS", "3e8"))))
+            # same default as _use_bmv ('0') so unset vs explicit 'auto'
+            # hash to DIFFERENT keys only when behavior differs (ADVICE r4)
+            wkey = (str(dtype), pkey, bb.shape[1], use_w2,
+                    os.environ.get("SSTPU_SOLVE_BMV", "0"),
                     os.environ.get("SSTPU_BMV_BMIN", "32"))
             wcache = getattr(F, "_winv", None)
             if (wcache is None or wcache[0] != wkey
                     or wcache[1] is not F.Lx):
-                wv = build_winv(plan, lx_in, dtype, nrhs=bb.shape[1])
+                wv = build_winv(plan, lx_in, dtype, nrhs=bb.shape[1],
+                                w2=use_w2)
                 F._winv = (wkey, F.Lx, wv)
             args = (lx_in, jnp.asarray(pbp), F._winv[2])
         else:

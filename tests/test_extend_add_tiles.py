@@ -87,7 +87,9 @@ def test_tile_pair_manifest_structure(monkeypatch):
             seen += 1
             assert tm.man.shape[1] == 14
             assert tm.rowmap.shape[1] == 2 and tm.colmap.shape[1] == 2
-            tm1 = build_group_manifest(g, T=128, npiece=1)
+            # same fold set as the plan default (fold-all, frac=0) so the
+            # one-piece step count is comparable
+            tm1 = build_group_manifest(g, T=128, ru_min_frac=0.0, npiece=1)
             key = (tm1.man[:, 0].astype(np.int64) * 10**8
                    + tm1.man[:, 1] * 10**4 + tm1.man[:, 2])
             _, counts = np.unique(key, return_counts=True)

@@ -293,6 +293,62 @@ def test_inverse_panel_solve_matches_trisolve(monkeypatch):
     assert residual_norm(A2, x3, b) < 1e-5
 
 
+def test_w2_stacked_panel_solve(monkeypatch):
+    """SSTPU_SOLVE_W2=1: the stacked inverse panel W2 = [W ; L21 W]
+    collapses each group's sweep step to ONE batched matvec (forward
+    [xc; v] = W2 yc, backward xc = W2^T [yf; -xb]) with no intra-group
+    dependency. Must match the inverse-panel route on every path (XLA
+    and lane-batched bmv kernel), any nrhs, and refine to fp64."""
+    from suitesparse_tpu.numeric import supernodal_device, supernodal_solve
+
+    A = fixtures.laplacian_3d(7)
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal_device.factorize_device(A, S)
+    b = 1.0 + np.arange(A.ncol) / A.ncol
+    monkeypatch.setenv("SSTPU_SOLVE_INV", "1")
+    monkeypatch.setenv("SSTPU_SOLVE_W2", "0")
+    S._solve_cache = None
+    F._winv = None
+    x_inv = supernodal_solve.solve_device(F, b)
+    monkeypatch.setenv("SSTPU_SOLVE_W2", "1")
+    S._solve_cache = None
+    F._winv = None
+    x_w2 = supernodal_solve.solve_device(F, b)
+    assert residual_norm(A, x_w2, b) < 1e-5
+    assert np.abs(x_w2 - x_inv).max() / np.abs(x_inv).max() < 1e-4
+    # the winv entries are stacked-panel dicts
+    wv = F._winv[2]
+    kinds = {tuple(e.keys())[0] if isinstance(e, dict) else "tuple"
+             for row in wv for e in row}
+    assert kinds <= {"w2", "w2t"} and "w2" in kinds or "w2t" in kinds
+    # multi-RHS
+    B = np.stack([b, -2.0 * b, 0.5 * b], axis=1)
+    X = supernodal_solve.solve_device(F, B)
+    for k in range(3):
+        assert residual_norm(A, X[:, k], B[:, k]) < 1e-5
+    # compose with the lane-batched kernel (interpret mode off-TPU)
+    monkeypatch.setenv("SSTPU_SOLVE_BMV", "1")
+    monkeypatch.setenv("SSTPU_BMV_BMIN", "4")
+    S._solve_cache = None
+    F._winv = None
+    x_bmv = supernodal_solve.solve_device(F, b)
+    assert residual_norm(A, x_bmv, b) < 1e-5
+    assert np.abs(x_bmv - x_w2).max() / np.abs(x_w2).max() < 1e-4
+    wv = F._winv[2]
+    assert any(isinstance(e, dict) and "w2t" in e
+               for row in wv for e in row)
+    # refinement restores the double-precision contract
+    assert residual_norm(A, supernodal_solve.solve_refined(F, A, b),
+                         b) < 1e-14
+    # compose with the coarse plan
+    monkeypatch.delenv("SSTPU_SOLVE_BMV", raising=False)
+    monkeypatch.setenv("SSTPU_SOLVE_COARSE", "1")
+    S._solve_cache = None
+    F._winv = None
+    x_c = supernodal_solve.solve_device(F, b)
+    assert residual_norm(A, x_c, b) < 1e-5
+
+
 def test_coarse_solve_plan(monkeypatch):
     """SSTPU_SOLVE_COARSE=1: the solve re-buckets supernodes with pow4
     rungs (~3.6x fewer sequential group steps at n=125k) and consumes a

@@ -62,6 +62,15 @@ CONFIGS = {
     # half of the 9.9 ms solve (watch solve_s; factor must not move).
     "bmv": {"SSTPU_SOLVE_BMV": "1"},
     "bmv48": {"SSTPU_SOLVE_BMV": "1", "SSTPU_BMV_BMIN": "48"},
+    # round-5: bmv re-run after the ADVICE r4 fixes (itemsize threading,
+    # _iblk NameError); kernel now validated correct on real TPU (fwd/bwd
+    # rel err <= 2e-7 at four shape classes). bmv_fine = the fine-plan
+    # variant (284 MB/sweep floor vs coarse's 440 MB) with lane-batched
+    # matvecs covering the small-C groups that made fine lose before.
+    "bmv_r5": {"SSTPU_SOLVE_BMV": "1"},
+    "bmv_fine": {"SSTPU_SOLVE_BMV": "1", "SSTPU_SOLVE_INV": "1",
+                 "SSTPU_SOLVE_COARSE": "0"},
+    "inv_fine": {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0"},
     "base_cold": {"SSTPU_PLACE": "mm",
                   "JAX_COMPILATION_CACHE_DIR": "/tmp/sstpu_cold_base",
                   **_OFF},
