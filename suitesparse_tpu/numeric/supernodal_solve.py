@@ -186,9 +186,13 @@ def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1,
                     RU = sg.R - C
                     if w2:
                         if RU > 0:
+                            # one-time build: HIGHEST unconditionally (the
+                            # TPU default is ONE bf16 pass — 2^-8 error
+                            # baked into W2 poisons every solve)
                             W2 = jnp.concatenate(
                                 [W, jnp.matmul(
-                                    L21, W, preferred_element_type=dtype)],
+                                    L21, W, preferred_element_type=dtype,
+                                    precision=jax.lax.Precision.HIGHEST)],
                                 axis=1)
                         else:
                             W2 = W
@@ -769,6 +773,19 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
         return jax.lax.linalg.triangular_solve(
             L11, yc, left_side=True, lower=True, transpose_a=transpose)
 
+    # measurement-only ablations (WRONG RESULTS; for the timing
+    # decomposition of the solve program): SSTPU_SOLVE_ABLATE=route
+    # skips the pair routing, =panel replaces every panel matvec input
+    # with its yc (keeping routing + glue). See NOTES_NEXT_ROUND.md.
+    import os as _os
+    _ablate = _os.environ.get("SSTPU_SOLVE_ABLATE", "")
+    # SSTPU_SOLVE_FUSE_ROUTE=1: fuse each dest group's pair classes into
+    # ONE padded placement (concat child vectors, idx padded to the
+    # group's RUmax) — ~6.5x fewer routing thunks on the fine plan (800
+    # classes -> 124 groups) at the cost of RUmax-padding the placement
+    # mask work. Opt-in until the TPU A/B records the trade.
+    _fuse = _os.environ.get("SSTPU_SOLVE_FUSE_ROUTE", "0") == "1"
+
     # ---------------- forward: leaves -> root ----------------
     up = {}       # (level, gi) -> pass-up contribution vectors (B, RU, nrhs)
     yfwd = {}     # (level, gi) -> forward solution on own columns (B, C, nrhs)
@@ -777,14 +794,34 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
             B, R, C = fg.B, fg.R, fg.C
             RU = R - C
             w = jnp.zeros((B, R, nrhs), dtype=dtype)
-            for pc, (src, dst, idx) in zip(fg.pairs, fg._pair_arrays):
-                V = up[(pc.src_level, pc.src_gi)][src]     # (np, RU_c, nrhs)
+            if _fuse and fg.pairs and _ablate != "route":
+                idxcat, dstcat, metas, RUmax = _fused_route(fg)
+                V = jnp.concatenate(
+                    [jnp.pad(up[(sl, sgi)][src],
+                             ((0, 0), (0, RUmax - ruc), (0, 0)))
+                     for (sl, sgi, src, _k0, _k1, ruc) in metas], axis=0)
                 iota = jax.lax.broadcasted_iota(
-                    jnp.int32, (1, R, pc.RU_c), 1)
-                P = (iota == idx[:, None, :]).astype(dtype)
+                    jnp.int32, (1, R, RUmax), 1)
+                P = (iota == idxcat[:, None, :]).astype(dtype)
                 placed = jnp.matmul(P, V, preferred_element_type=dtype)
-                w = w.at[dst].add(placed, indices_are_sorted=True)
+                w = w.at[dstcat].add(placed)
+            else:
+                for pc, (src, dst, idx) in zip(
+                        [] if _ablate == "route" else fg.pairs,
+                        fg._pair_arrays):
+                    V = up[(pc.src_level, pc.src_gi)][src]  # (np, RU_c, nrhs)
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, R, pc.RU_c), 1)
+                    P = (iota == idx[:, None, :]).astype(dtype)
+                    placed = jnp.matmul(P, V, preferred_element_type=dtype)
+                    w = w.at[dst].add(placed, indices_are_sorted=True)
             yc = pb[sg.col_idx].reshape(B, C, nrhs) - w[:, :C, :]
+            if _ablate == "panel":
+                yfwd[(d, gi)] = yc
+                if RU > 0:
+                    up[(d, gi)] = w[:, C:, :] + jnp.mean(yc, axis=1,
+                                                         keepdims=True)
+                continue
             if winv is not None and isinstance(winv[d][gi], dict):
                 e = winv[d][gi]
                 if "w2t" in e:
@@ -852,6 +889,30 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
             if below is None:
                 below = jnp.zeros((B, max(RU, 1), nrhs), dtype=dtype)
             yc = yfwd[(d, gi)]
+            if _ablate == "panel":
+                xc = yc + jnp.mean(below, axis=1, keepdims=True)
+                xcs[(d, gi)] = xc
+                if fg.pairs and _ablate != "route":
+                    fx = jnp.concatenate([xc, below[:, :RU]], axis=1) \
+                        if RU > 0 else xc
+                    for pc, (src, dst, idx) in zip(fg.pairs,
+                                                   fg._pair_arrays):
+                        rows = fx[dst]
+                        iota = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, R, pc.RU_c), 1)
+                        P = (iota == idx[:, None, :]).astype(dtype)
+                        childx = jnp.matmul(jnp.swapaxes(P, 1, 2), rows,
+                                            preferred_element_type=dtype)
+                        key = (pc.src_level, pc.src_gi)
+                        buf = xb.get(key)
+                        if buf is None:
+                            cg = plan.groups[pc.src_level][pc.src_gi]
+                            buf = jnp.zeros(
+                                (cg.B, max(cg.R - cg.C, 1), nrhs),
+                                dtype=dtype)
+                        xb[key] = buf.at[src].set(childx,
+                                                  unique_indices=True)
+                continue
             if winv is not None and isinstance(winv[d][gi], dict):
                 e = winv[d][gi]
                 if "w2t" in e:
@@ -904,7 +965,26 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                 xc = trisolve(L11, yc, sg, True)
             xcs[(d, gi)] = xc
             # push the front's x values down to every child group
-            if fg.pairs:
+            if fg.pairs and _ablate != "route" and _fuse:
+                idxcat, dstcat, metas, RUmax = _fused_route(fg)
+                fx = jnp.concatenate([xc, below[:, :RU]], axis=1) \
+                    if RU > 0 else xc
+                rows = fx[dstcat]                           # (NP, R, nrhs)
+                iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, R, RUmax), 1)
+                P = (iota == idxcat[:, None, :]).astype(dtype)
+                childx = jnp.matmul(jnp.swapaxes(P, 1, 2), rows,
+                                    preferred_element_type=dtype)
+                for (sl, sgi, src, k0, k1, ruc) in metas:
+                    key = (sl, sgi)
+                    buf = xb.get(key)
+                    if buf is None:
+                        cg = plan.groups[sl][sgi]
+                        buf = jnp.zeros((cg.B, max(cg.R - cg.C, 1), nrhs),
+                                        dtype=dtype)
+                    xb[key] = buf.at[src].set(childx[k0:k1, :ruc],
+                                              unique_indices=True)
+            elif fg.pairs and _ablate != "route":
                 fx = jnp.concatenate([xc, below[:, :RU]], axis=1) \
                     if RU > 0 else xc
                 for pc, (src, dst, idx) in zip(fg.pairs, fg._pair_arrays):
@@ -930,6 +1010,30 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
          for d in range(len(plan.groups))
          for gi in range(len(plan.groups[d]))], axis=0)
     return xcat
+
+
+def _fused_route(fg):
+    """Per-dest-group fused routing arrays (cached on the GroupPlan):
+    (idxcat (NP, RUmax) int32 pad -1, dstcat (NP,), metas, RUmax) where
+    metas = [(src_level, src_gi, src_idx, k0, k1, RU_c), ...] in concat
+    order. The factor plan's per-class chunking (cap_cells for U-buffer
+    working sets) is irrelevant for solve vectors, so classes fuse whole."""
+    fr = getattr(fg, "_solve_fused", None)
+    if fr is None and fg.pairs:
+        RUmax = max(pc.RU_c for pc in fg.pairs)
+        idxs, dsts, metas = [], [], []
+        k0 = 0
+        for pc, (src, dst, idx) in zip(fg.pairs, fg._pair_arrays):
+            idxs.append(np.pad(idx, ((0, 0), (0, RUmax - idx.shape[1])),
+                               constant_values=-1))
+            dsts.append(dst)
+            metas.append((pc.src_level, pc.src_gi, src, k0, k0 + src.size,
+                          pc.RU_c))
+            k0 += src.size
+        fr = (np.concatenate(idxs, axis=0), np.concatenate(dsts),
+              metas, RUmax)
+        fg._solve_fused = fr
+    return fr
 
 
 def _mf_xmap(S: SupernodalSymbolic, plan) -> np.ndarray:
@@ -993,8 +1097,13 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     bb = b.reshape(-1, 1) if one_d else b
     pb = bb[S.perm]
     use_inv = layout == "device" and _use_inv_solve(bb.shape[1])
+    import os as _os
     key = (pkey, str(dtype), bb.shape[1], use_inv,
-           id(S._device_plan) if layout == "device" else 0)
+           id(S._device_plan) if layout == "device" else 0,
+           # knobs that change the traced program without changing the
+           # arg structure must key the compiled-fn cache
+           _os.environ.get("SSTPU_SOLVE_ABLATE", ""),
+           _os.environ.get("SSTPU_SOLVE_FUSE_ROUTE", "0"))
     cache = getattr(S, "_solve_cache", None)
     if not isinstance(cache, dict):
         cache = {}

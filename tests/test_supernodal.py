@@ -349,6 +349,52 @@ def test_w2_stacked_panel_solve(monkeypatch):
     assert residual_norm(A, x_c, b) < 1e-5
 
 
+def test_fused_route_solve(monkeypatch):
+    """SSTPU_SOLVE_FUSE_ROUTE=1: per-dest-group fused pair routing (one
+    padded placement per group instead of one per class) must match the
+    per-class loop to fp32 add-order tolerance (the per-dest-row
+    accumulation order may differ across class boundaries)."""
+    from suitesparse_tpu.numeric import supernodal_device, supernodal_solve
+
+    A = fixtures.laplacian_3d(7)
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal_device.factorize_device(A, S)
+    b = 1.0 + np.arange(A.ncol) / A.ncol
+    monkeypatch.setenv("SSTPU_SOLVE_INV", "1")
+    S._solve_cache = None
+    F._winv = None
+    x0 = supernodal_solve.solve_device(F, b)
+    monkeypatch.setenv("SSTPU_SOLVE_FUSE_ROUTE", "1")
+    S._solve_cache = None
+    F._winv = None
+    x1 = supernodal_solve.solve_device(F, b)
+    scale = np.abs(x0).max()
+    assert np.allclose(x1, x0, atol=2e-6 * scale, rtol=2e-6)
+    assert residual_norm(A, x1, b) < 1e-5
+    # fused arrays exist on multi-class groups and cover every class
+    seen = 0
+    for gl in S._device_plan.groups:
+        for g in gl:
+            fr = getattr(g, "_solve_fused", None)
+            if fr is None:
+                continue
+            seen += 1
+            idxcat, dstcat, metas, RUmax = fr
+            assert idxcat.shape[0] == dstcat.shape[0] == metas[-1][4]
+            assert RUmax == max(pc.RU_c for pc in g.pairs)
+            assert sum(k1 - k0 for (_s, _g, _src, k0, k1, _r) in metas) \
+                == idxcat.shape[0]
+    assert seen > 0
+    # compose with w2 and multi-RHS
+    monkeypatch.setenv("SSTPU_SOLVE_W2", "1")
+    S._solve_cache = None
+    F._winv = None
+    B = np.stack([b, -2.0 * b], axis=1)
+    X = supernodal_solve.solve_device(F, B)
+    for k in range(2):
+        assert residual_norm(A, X[:, k], B[:, k]) < 1e-5
+
+
 def test_coarse_solve_plan(monkeypatch):
     """SSTPU_SOLVE_COARSE=1: the solve re-buckets supernodes with pow4
     rungs (~3.6x fewer sequential group steps at n=125k) and consumes a
