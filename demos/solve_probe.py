@@ -49,11 +49,17 @@ CONFIGS = [
     ("w2_coarse_fuse", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "1",
                         "SSTPU_SOLVE_W2": "1",
                         "SSTPU_SOLVE_FUSE_ROUTE": "1"}),
+    ("w2_fine_all", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
+                     "SSTPU_SOLVE_W2": "1", "SSTPU_SOLVE_BMV": "1",
+                     "SSTPU_SOLVE_PMV": "1",
+                     "SSTPU_SOLVE_FUSE_ROUTE": "1"}),
+    ("w2_fine_pmv", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
+                     "SSTPU_SOLVE_W2": "1", "SSTPU_SOLVE_PMV": "1"}),
 ]
 
 _KNOBS = ["SSTPU_SOLVE_INV", "SSTPU_SOLVE_COARSE", "SSTPU_SOLVE_W2",
           "SSTPU_SOLVE_BMV", "SSTPU_SOLVE_ABLATE", "SSTPU_BMV_BMIN",
-          "SSTPU_SOLVE_FUSE_ROUTE"]
+          "SSTPU_SOLVE_FUSE_ROUTE", "SSTPU_SOLVE_PMV"]
 
 
 def main() -> None:

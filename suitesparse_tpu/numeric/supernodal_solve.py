@@ -88,6 +88,35 @@ def _use_w2(nrhs: int) -> bool:
     return _mode_policy("SSTPU_SOLVE_W2", nrhs)
 
 
+def _use_pmv(B: int, R: int, C: int, nrhs: int, itemsize: int = 4) -> bool:
+    """Streaming panel-matvec kernel policy (SSTPU_SOLVE_PMV=auto|1|0,
+    default 0 until the TPU A/B) for big-front w2 groups: XLA's batched
+    matvec puts N=1 on the MXU (127/128 lanes idle); the pallas kernel
+    (kernels/pmatvec.py) streams the panel with a sublane reduction in
+    BOTH sweep directions (the stacked panel is stored in both
+    orientations — 2x solve-copy memory, same bytes per sweep).  Only
+    where the (8, 128) tile padding stays small and the batch is tiny
+    (bmv handles the big-batch leaf end)."""
+    import os
+
+    from ..kernels.pmatvec import pmv_fits, pmv_pad
+
+    mode = os.environ.get("SSTPU_SOLVE_PMV", "0")
+    if mode == "0" or (mode != "1" and not _mode_policy("SSTPU_SOLVE_PMV",
+                                                        nrhs)):
+        return False
+    if B > 32 or nrhs > 8 or B * R * C < int(
+            os.environ.get("SSTPU_PMV_MIN_CELLS", str(1 << 20))):
+        return False
+    Kp, Np = pmv_pad(R, C, itemsize)
+    if Kp * Np > 1.35 * R * C:
+        return False
+    Kp2, Np2 = pmv_pad(C, R, itemsize)
+    if Kp2 * Np2 > 1.35 * R * C:
+        return False
+    return pmv_fits(R, C, nrhs, itemsize) and pmv_fits(C, R, nrhs, itemsize)
+
+
 def _use_bmv(B: int, C: int, RU: int, nrhs: int, itemsize: int = 4,
              R: int | None = None) -> bool:
     """Lane-batched matvec kernel policy (SSTPU_SOLVE_BMV=auto|1|0) for
@@ -159,9 +188,10 @@ def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1,
         splan._winv_builders = cached
     isz = jnp.dtype(dtype).itemsize
     if w2:
-        bmv = tuple(_use_bmv(sg.B, sg.C, sg.R - sg.C, nrhs, isz,
-                             R=sg.R)
-                    for sglist in splan.groups for sg in sglist)
+        bmv = tuple(
+            "pmv" if _use_pmv(sg.B, sg.R, sg.C, nrhs, isz)
+            else _use_bmv(sg.B, sg.C, sg.R - sg.C, nrhs, isz, R=sg.R)
+            for sglist in splan.groups for sg in sglist)
     else:
         bmv = tuple(_use_bmv(sg.B, sg.C, sg.R - sg.C, nrhs, isz)
                     for sglist in splan.groups for sg in sglist)
@@ -196,7 +226,20 @@ def build_winv(splan: "SolvePlan", Lx, dtype, nrhs: int = 1,
                                 axis=1)
                         else:
                             W2 = W
-                        if not use_bmv:
+                        if use_bmv == "pmv":
+                            from ..kernels.pmatvec import pmv_pad
+                            R_ = sg.R
+                            Kp, Np = pmv_pad(R_, C, isz)
+                            Kp2, Np2 = pmv_pad(C, R_, isz)
+                            # both orientations: fwd applies W2 via
+                            # (W2^T)^T, bwd applies W2^T via W2
+                            W2b = jnp.pad(W2, ((0, 0), (0, Kp - R_),
+                                               (0, Np - C)))
+                            W2f = jnp.pad(jnp.swapaxes(W2, 1, 2),
+                                          ((0, 0), (0, Kp2 - C),
+                                           (0, Np2 - R_)))
+                            row.append({"w2f": W2f, "w2b": W2b})
+                        elif not use_bmv:
                             row.append({"w2": W2})
                         else:
                             pads, Bp, bb = bmv_group_geom(
@@ -824,7 +867,17 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                 continue
             if winv is not None and isinstance(winv[d][gi], dict):
                 e = winv[d][gi]
-                if "w2t" in e:
+                if "w2f" in e:
+                    from ..kernels.pmatvec import pmatvec_t
+                    W2f = e["w2f"]                  # (B, Cp, Rp)
+                    Cp = W2f.shape[1]
+                    Z = pmatvec_t(W2f, jnp.pad(
+                        yc, ((0, 0), (0, Cp - C), (0, 0))))
+                    z = jnp.swapaxes(Z[:, :nrhs, :R], 1, 2)  # (B, R, nrhs)
+                    yfwd[(d, gi)] = z[:, :C, :]
+                    if RU > 0:
+                        up[(d, gi)] = z[:, C:, :] + w[:, C:, :]
+                elif "w2t" in e:
                     from ..kernels.bmatvec import bmatvec_t, bmv_group_geom
                     W2t = e["w2t"]
                     Bp = W2t.shape[2]
@@ -915,20 +968,25 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                 continue
             if winv is not None and isinstance(winv[d][gi], dict):
                 e = winv[d][gi]
-                if "w2t" in e:
+                yin = jnp.concatenate([yc, -below[:, :RU]], axis=1) \
+                    if RU > 0 else yc
+                if "w2b" in e:
+                    from ..kernels.pmatvec import pmatvec_t
+                    W2b = e["w2b"]                  # (B, Rp, Cp)
+                    Rp = W2b.shape[1]
+                    Z = pmatvec_t(W2b, jnp.pad(
+                        yin, ((0, 0), (0, Rp - R), (0, 0))))
+                    xc = jnp.swapaxes(Z[:, :nrhs, :C], 1, 2)
+                elif "w2t" in e:
                     from ..kernels.bmatvec import bmatvec_t, bmv_group_geom
                     W2t = e["w2t"]
                     Bp, Rpad = W2t.shape[2], W2t.shape[0]
                     bb = bmv_group_geom(((R, C),), B,
                                         jnp.dtype(dtype).itemsize)[2]
-                    yin = jnp.concatenate([yc, -below[:, :RU]], axis=1) \
-                        if RU > 0 else yc
                     zt = bmatvec_t(W2t, _to_lanes(yin, Bp, rows_pad=Rpad),
                                    transpose=True, bb=bb)
                     xc = _from_lanes(zt, B, C)
                 else:
-                    yin = jnp.concatenate([yc, -below[:, :RU]], axis=1) \
-                        if RU > 0 else yc
                     xc = jnp.matmul(jnp.swapaxes(e["w2"], 1, 2), yin,
                                     preferred_element_type=dtype)
             elif winv is not None and len(winv[d][gi]) == 2:
@@ -1182,6 +1240,7 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
             # hash to DIFFERENT keys only when behavior differs (ADVICE r4)
             wkey = (str(dtype), pkey, bb.shape[1], use_w2,
                     os.environ.get("SSTPU_SOLVE_BMV", "0"),
+                    os.environ.get("SSTPU_SOLVE_PMV", "0"),
                     os.environ.get("SSTPU_BMV_BMIN", "32"))
             wcache = getattr(F, "_winv", None)
             if (wcache is None or wcache[0] != wkey

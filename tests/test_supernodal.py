@@ -349,6 +349,42 @@ def test_w2_stacked_panel_solve(monkeypatch):
     assert residual_norm(A, x_c, b) < 1e-5
 
 
+def test_pmv_stream_matvec_solve(monkeypatch):
+    """SSTPU_SOLVE_PMV=1 (+w2): big-front groups apply the stacked panel
+    through the streaming pallas matvec (kernels/pmatvec.py), stored in
+    both orientations so both sweeps reduce over sublanes. Must match
+    the plain w2 route and refine to fp64."""
+    from suitesparse_tpu.numeric import supernodal_device, supernodal_solve
+
+    A = fixtures.laplacian_3d(12)
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal_device.factorize_device(A, S)
+    b = 1.0 + np.arange(A.ncol) / A.ncol
+    monkeypatch.setenv("SSTPU_SOLVE_INV", "1")
+    monkeypatch.setenv("SSTPU_SOLVE_W2", "1")
+    S._solve_cache = None
+    F._winv = None
+    x0 = supernodal_solve.solve_device(F, b)
+    monkeypatch.setenv("SSTPU_SOLVE_PMV", "1")
+    monkeypatch.setenv("SSTPU_PMV_MIN_CELLS", "20000")
+    S._solve_cache = None
+    F._winv = None
+    x1 = supernodal_solve.solve_device(F, b)
+    assert residual_norm(A, x1, b) < 1e-5
+    scale = np.abs(x0).max()
+    assert np.allclose(x1, x0, atol=2e-6 * scale, rtol=2e-6)
+    wv = F._winv[2]
+    assert any(isinstance(e, dict) and "w2f" in e
+               for row in wv for e in row), "no group took the pmv path"
+    # multi-RHS + refinement
+    B = np.stack([b, -2.0 * b], axis=1)
+    X = supernodal_solve.solve_device(F, B)
+    for k in range(2):
+        assert residual_norm(A, X[:, k], B[:, k]) < 1e-5
+    assert residual_norm(A, supernodal_solve.solve_refined(F, A, b),
+                         b) < 1e-14
+
+
 def test_fused_route_solve(monkeypatch):
     """SSTPU_SOLVE_FUSE_ROUTE=1: per-dest-group fused pair routing (one
     padded placement per group instead of one per class) must match the
