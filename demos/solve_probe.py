@@ -55,6 +55,12 @@ CONFIGS = [
                      "SSTPU_SOLVE_FUSE_ROUTE": "1"}),
     ("w2_fine_pmv", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
                      "SSTPU_SOLVE_W2": "1", "SSTPU_SOLVE_PMV": "1"}),
+    ("w2_fine_route0", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
+                        "SSTPU_SOLVE_W2": "1",
+                        "SSTPU_SOLVE_ABLATE": "route"}),
+    ("w2_fine_panel0", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
+                        "SSTPU_SOLVE_W2": "1",
+                        "SSTPU_SOLVE_ABLATE": "panel"}),
 ]
 
 _KNOBS = ["SSTPU_SOLVE_INV", "SSTPU_SOLVE_COARSE", "SSTPU_SOLVE_W2",
@@ -87,7 +93,11 @@ def main() -> None:
     S = analyze_supernodal(A, p)
     F = supernodal_device.factorize_device(A, S, sst.DEFAULT)
     assert F.ok
+    nrhs = int(os.environ.get("PROBE_NRHS", "1"))
     b = 1.0 + np.arange(n) / n
+    if nrhs > 1:
+        b = np.tile(b.reshape(-1, 1), (1, nrhs)) \
+            * (1.0 + np.arange(nrhs) / nrhs)
     K = 20
 
     for name, env in CONFIGS:
@@ -118,8 +128,11 @@ def main() -> None:
         resid = None
         if "SSTPU_SOLVE_ABLATE" not in env:
             x = supernodal_solve.solve_device(F, b, sst.DEFAULT)
-            resid = float(sst.residual_norm(A, x, b))
-        print(json.dumps({"config": name, "n": n,
+            if nrhs > 1:
+                resid = float(sst.residual_norm(A, x[:, 0], b[:, 0]))
+            else:
+                resid = float(sst.residual_norm(A, x, b))
+        print(json.dumps({"config": name, "n": n, "nrhs": nrhs,
                           "solve_ms": round(best * 1e3, 2),
                           "compile_s": round(t_compile, 1),
                           "residual": resid}), flush=True)
