@@ -61,11 +61,21 @@ CONFIGS = [
     ("w2_fine_panel0", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
                         "SSTPU_SOLVE_W2": "1",
                         "SSTPU_SOLVE_ABLATE": "panel"}),
+    ("w2_fine_sort", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
+                      "SSTPU_SOLVE_W2": "1", "SSTPU_SOLVE_SORT": "1"}),
+    ("inv_fine_sort", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
+                       "SSTPU_SOLVE_SORT": "1"}),
+    ("w2_pow2", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "1",
+                 "SSTPU_SOLVE_LADDER": "pow2", "SSTPU_SOLVE_W2": "1"}),
+    ("w2_pow2_route0", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "1",
+                        "SSTPU_SOLVE_LADDER": "pow2", "SSTPU_SOLVE_W2": "1",
+                        "SSTPU_SOLVE_ABLATE": "route"}),
 ]
 
 _KNOBS = ["SSTPU_SOLVE_INV", "SSTPU_SOLVE_COARSE", "SSTPU_SOLVE_W2",
           "SSTPU_SOLVE_BMV", "SSTPU_SOLVE_ABLATE", "SSTPU_BMV_BMIN",
-          "SSTPU_SOLVE_FUSE_ROUTE", "SSTPU_SOLVE_PMV"]
+          "SSTPU_SOLVE_FUSE_ROUTE", "SSTPU_SOLVE_PMV", "SSTPU_SOLVE_SORT",
+          "SSTPU_SOLVE_LADDER"]
 
 
 def main() -> None:

@@ -291,6 +291,11 @@ def _group_panels(Lxp, g: "SolveGroup", dtype):
 # 1-RHS solve is sequential-step-latency bound, not bandwidth bound
 _SOLVE_R_LADDER = [16, 64, 256, 1024, 4096, 8192]
 _SOLVE_C_LADDER = [16, 64, 256, 512]
+# pow2 middle ladder (SSTPU_SOLVE_LADDER=pow2): ~2x fewer groups than
+# the fine plan at ~1.2-1.4x panel bytes — between fine (124 groups /
+# 335 MB at n=125k) and the pow4 ladder above (34 groups / 440 MB)
+_SOLVE_R_POW2 = [16, 32, 64, 128, 256, 512, 1024, 2048, 4096, 8192]
+_SOLVE_C_POW2 = [16, 32, 64, 128, 256, 512]
 
 
 def _use_coarse_solve(nrhs: int) -> bool:
@@ -300,8 +305,14 @@ def _use_coarse_solve(nrhs: int) -> bool:
 
 
 def _coarse_plan(S: SupernodalSymbolic):
-    """Solve-only re-bucketed plan (cached on the symbolic)."""
-    plan2 = getattr(S, "_solve_coarse_plan", None)
+    """Solve-only re-bucketed plan (cached on the symbolic).
+    SSTPU_SOLVE_LADDER=pow2 picks the middle ladder (fewer sequential
+    thunks than fine, far less padding than the pow4 default)."""
+    import os
+
+    pow2 = os.environ.get("SSTPU_SOLVE_LADDER", "pow4") == "pow2"
+    attr = "_solve_pow2_plan" if pow2 else "_solve_coarse_plan"
+    plan2 = getattr(S, attr, None)
     if plan2 is None:
         from .supernodal_device import build_plan
         C_low = getattr(S, "_clow_cache", None)
@@ -309,9 +320,11 @@ def _coarse_plan(S: SupernodalSymbolic):
         # asrc/adst (unused by the solve) — reuse any cached one or rebuild
         if C_low is None:
             raise RuntimeError("coarse solve plan needs C_low (see caller)")
-        plan2 = build_plan(S, C_low,
-                           ladders=(_SOLVE_R_LADDER, _SOLVE_C_LADDER))
-        S._solve_coarse_plan = plan2
+        plan2 = build_plan(
+            S, C_low,
+            ladders=((_SOLVE_R_POW2, _SOLVE_C_POW2) if pow2
+                     else (_SOLVE_R_LADDER, _SOLVE_C_LADDER)))
+        setattr(S, attr, plan2)
     return plan2
 
 
@@ -826,8 +839,20 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
     # ONE padded placement (concat child vectors, idx padded to the
     # group's RUmax) — ~6.5x fewer routing thunks on the fine plan (800
     # classes -> 124 groups) at the cost of RUmax-padding the placement
-    # mask work. Opt-in until the TPU A/B records the trade.
+    # mask work. MEASURED LOSS on v5e (7.83 vs 6.78 ms w2+fine): the
+    # fused (NP, R, RUmax) placement hits the N=1 MXU dot path while the
+    # small per-class placements run as VPU loop fusions. Kept opt-in as
+    # the record.
     _fuse = _os.environ.get("SSTPU_SOLVE_FUSE_ROUTE", "0") == "1"
+    # SSTPU_SOLVE_SORT=1: class-sorted pass-up buffers — ONE batch
+    # permutation gather per child group; each class then reads a static
+    # contiguous slice (fuses into its placement) and the backward
+    # per-class scatter becomes a static update-slice. Targets the
+    # routing-thunk chain the ablation decomposition showed is the
+    # critical path (panel0 6.38 of 6.78 ms at n=125k).
+    _sort = (_os.environ.get("SSTPU_SOLVE_SORT", "0") == "1"
+             and not _fuse and not _ablate)
+    smap, cmap = _sorted_route(plan) if _sort else ({}, {})
 
     # ---------------- forward: leaves -> root ----------------
     up = {}       # (level, gi) -> pass-up contribution vectors (B, RU, nrhs)
@@ -849,10 +874,15 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                 placed = jnp.matmul(P, V, preferred_element_type=dtype)
                 w = w.at[dstcat].add(placed)
             else:
-                for pc, (src, dst, idx) in zip(
+                for ci, (pc, (src, dst, idx)) in enumerate(zip(
                         [] if _ablate == "route" else fg.pairs,
-                        fg._pair_arrays):
-                    V = up[(pc.src_level, pc.src_gi)][src]  # (np, RU_c, nrhs)
+                        fg._pair_arrays)):
+                    if _sort:
+                        off, hi = cmap[(d, gi, ci)]
+                        V = jax.lax.slice_in_dim(
+                            up[(pc.src_level, pc.src_gi)], off, hi)
+                    else:
+                        V = up[(pc.src_level, pc.src_gi)][src]
                     iota = jax.lax.broadcasted_iota(
                         jnp.int32, (1, R, pc.RU_c), 1)
                     P = (iota == idx[:, None, :]).astype(dtype)
@@ -928,6 +958,15 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                     V = jnp.matmul(L21, xc, preferred_element_type=dtype) \
                         + w[:, C:, :]
                     up[(d, gi)] = V
+        if _sort:
+            # one batch-permute gather per child group: its pass-up rows
+            # land in consuming-class order so every class upstream reads
+            # a static slice (fused) instead of issuing its own gather
+            for gi2 in range(len(fglist)):
+                key = (d, gi2)
+                if key in smap and key in up:
+                    cat, _inv, _ncat = smap[key]
+                    up[key] = up[key][jnp.asarray(cat)]
 
     # ---------------- backward: root -> leaves ----------------
     xb = {}       # (level, gi) -> below-row x values (B, RU, nrhs)
@@ -941,6 +980,13 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
             below = xb.get((d, gi))
             if below is None:
                 below = jnp.zeros((B, max(RU, 1), nrhs), dtype=dtype)
+            elif _sort and (d, gi) in smap:
+                # class-sorted slab -> batch order; childless rows pull
+                # the zero pad row (inv sentinel = ncat)
+                cat, inv, ncat = smap[(d, gi)]
+                below = jnp.concatenate(
+                    [below, jnp.zeros((1,) + below.shape[1:], dtype)],
+                    axis=0)[jnp.asarray(inv)]
             yc = yfwd[(d, gi)]
             if _ablate == "panel":
                 xc = yc + jnp.mean(below, axis=1, keepdims=True)
@@ -1045,7 +1091,8 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
             elif fg.pairs and _ablate != "route":
                 fx = jnp.concatenate([xc, below[:, :RU]], axis=1) \
                     if RU > 0 else xc
-                for pc, (src, dst, idx) in zip(fg.pairs, fg._pair_arrays):
+                for ci, (pc, (src, dst, idx)) in enumerate(
+                        zip(fg.pairs, fg._pair_arrays)):
                     rows = fx[dst]                          # (np, R, nrhs)
                     # select child rows via the one-hot transpose (P^T @ fx):
                     # same op family as the factor program (gather-free)
@@ -1056,6 +1103,18 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                                         preferred_element_type=dtype)
                     key = (pc.src_level, pc.src_gi)
                     buf = xb.get(key)
+                    if _sort:
+                        # class-sorted slab: static update-slice at the
+                        # class offset (disjoint across classes)
+                        if buf is None:
+                            cg = plan.groups[pc.src_level][pc.src_gi]
+                            buf = jnp.zeros(
+                                (smap[key][2], max(cg.R - cg.C, 1), nrhs),
+                                dtype=dtype)
+                        off, _hi = cmap[(d, gi, ci)]
+                        xb[key] = jax.lax.dynamic_update_slice_in_dim(
+                            buf, childx, off, axis=0)
+                        continue
                     if buf is None:
                         cg = plan.groups[pc.src_level][pc.src_gi]
                         buf = jnp.zeros((cg.B, max(cg.R - cg.C, 1), nrhs),
@@ -1068,6 +1127,42 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
          for d in range(len(plan.groups))
          for gi in range(len(plan.groups[d]))], axis=0)
     return xcat
+
+
+def _sorted_route(plan):
+    """Class-sorted routing maps (cached on the factor Plan): for each
+    CHILD group, the batch permutation that lays its pass-up vectors out
+    in consuming-class order.  Pair-class sources are DISJOINT per child
+    group (routing is tree-edge-only — verified on real plans), so after
+    ONE gather per child group every class reads a STATIC contiguous
+    slice (fused into its placement matvec) instead of issuing its own
+    batch-gather, and the backward per-class scatter becomes a static
+    dynamic-update-slice.  Returns {child_key: (cat, inv, ncat)} plus
+    {(parent_d, parent_gi, class_i): (off, np)} in the second dict."""
+    sr = getattr(plan, "_solve_sortmap", None)
+    if sr is None:
+        order: dict = {}
+        for dp, gl in enumerate(plan.groups):
+            for gip, g in enumerate(gl):
+                for ci, (pc, (src, _dst, _idx)) in enumerate(
+                        zip(g.pairs, g._pair_arrays)):
+                    order.setdefault((pc.src_level, pc.src_gi), []).append(
+                        ((dp, gip, ci), src))
+        groups_map, class_map = {}, {}
+        for key, lst in order.items():
+            cat = np.concatenate([s for (_pk, s) in lst]).astype(np.int64)
+            B_c = plan.groups[key[0]][key[1]].B
+            # childless batch slots point at the zero pad row (cat.size)
+            inv = np.full(B_c, cat.size, dtype=np.int64)
+            inv[cat] = np.arange(cat.size)
+            off = 0
+            for (pk, s) in lst:
+                class_map[pk] = (off, off + s.size)
+                off += s.size
+            groups_map[key] = (cat, inv, cat.size)
+        sr = (groups_map, class_map)
+        plan._solve_sortmap = sr
+    return sr
 
 
 def _fused_route(fg):
@@ -1143,7 +1238,8 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     if plans is None:
         plans = {}
         S._solve_plans = plans
-    pkey = layout + ("/coarse" if use_coarse else "")
+    _ladder = __import__("os").environ.get("SSTPU_SOLVE_LADDER", "pow4")
+    pkey = layout + (f"/coarse-{_ladder}" if use_coarse else "")
     if pkey not in plans:
         plans[pkey] = build_solve_plan(
             S, layout, plan=_coarse_plan(S) if use_coarse else None)
@@ -1161,7 +1257,9 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
            # knobs that change the traced program without changing the
            # arg structure must key the compiled-fn cache
            _os.environ.get("SSTPU_SOLVE_ABLATE", ""),
-           _os.environ.get("SSTPU_SOLVE_FUSE_ROUTE", "0"))
+           _os.environ.get("SSTPU_SOLVE_FUSE_ROUTE", "0"),
+           _os.environ.get("SSTPU_SOLVE_SORT", "0"),
+           config.precision)
     cache = getattr(S, "_solve_cache", None)
     if not isinstance(cache, dict):
         cache = {}
@@ -1177,17 +1275,26 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
             # vheap gathers (~5 ns/elem over ~2.2M contribution elements)
             # cost more than the op-count reduction saves. mf2 stays as an
             # opt-in (SSTPU_SOLVE_MF2=1) for shapes where it may win.
+            # trace-time precision context: multi-RHS panel applications
+            # and placements become REAL matmuls on TPU, and the default
+            # is ONE bf16 pass (2^-8) — measured 1.6e-3 residual at
+            # nrhs=64 before this fix. The 1-RHS matvec path rides the
+            # VPU and is unaffected. Follows config.precision like the
+            # factor kernels do.
+            prec_name = config.precision
             if use_inv:
                 def fn_mf(lx, pbp, wv):
-                    xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype,
-                                        winv=wv)
-                    return xcat[xmap]
+                    with jax.default_matmul_precision(prec_name):
+                        xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype,
+                                            winv=wv)
+                        return xcat[xmap]
             elif use_coarse or os.environ.get("SSTPU_SOLVE_MF2", "0") != "1":
                 # (MF2 keeps its own plan keyed to the FINE layout; the
                 # coarse route uses the classic per-group formulation)
                 def fn_mf(lx, pbp):
-                    xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype)
-                    return xcat[xmap]
+                    with jax.default_matmul_precision(prec_name):
+                        xcat = _mf_solve_fn(S, fplan, plan, lx, pbp, dtype)
+                        return xcat[xmap]
             else:
                 m2 = getattr(S, "_mf2_plan", None)
                 if m2 is None:
@@ -1195,12 +1302,20 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
                     S._mf2_plan = m2
 
                 def fn_mf(lx, pbp):
-                    xcat = _mf2_solve_fn(S, fplan, plan, m2, lx, pbp, dtype)
-                    return xcat[xmap]
+                    with jax.default_matmul_precision(prec_name):
+                        xcat = _mf2_solve_fn(S, fplan, plan, m2, lx, pbp,
+                                             dtype)
+                        return xcat[xmap]
 
             fn = jax.jit(fn_mf)
         else:
-            fn = jax.jit(lambda lx, bb2: _solve_fn(plan, lx, bb2, dtype))
+            prec_name = config.precision
+
+            def fn_px(lx, bb2):
+                with jax.default_matmul_precision(prec_name):
+                    return _solve_fn(plan, lx, bb2, dtype)
+
+            fn = jax.jit(fn_px)
         # pin the plan whose id() is in the key: alive-while-cached means
         # the id can never be recycled into a false hit
         cache[key] = (fn, S._device_plan if layout == "device" else None)
@@ -1215,18 +1330,19 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
             # recycle (review r3)
             rc = getattr(F, "_lx_coarse", None)
             if rc is None or rc[0] is not S._device_plan \
-                    or rc[1] is not F.Lx:
+                    or rc[1] is not F.Lx or rc[2] != _ladder:
                 plan2 = _coarse_plan(S)
                 mc = getattr(S, "_relayout", None)
-                if mc is None or mc[0] is not S._device_plan:
+                if mc is None or mc[0] is not S._device_plan \
+                        or mc[2] != _ladder:
                     # static-slice device relayout — NOT a gather map (a
                     # dev2-sized map is ~400 MB of H2D at n=125k)
                     S._relayout = (S._device_plan,
                                    jax.jit(relayout_fn(S, S._device_plan,
-                                                       plan2)))
-                F._lx_coarse = (S._device_plan, F.Lx,
+                                                       plan2)), _ladder)
+                F._lx_coarse = (S._device_plan, F.Lx, _ladder,
                                 S._relayout[1](F.Lx))
-            lx_in = F._lx_coarse[2]
+            lx_in = F._lx_coarse[3]
         if use_inv:
             # inverse panels cached per factor VALUES (device arrays are
             # immutable; a refactorization makes a fresh Lx object)

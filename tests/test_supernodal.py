@@ -385,6 +385,44 @@ def test_pmv_stream_matvec_solve(monkeypatch):
                          b) < 1e-14
 
 
+def test_sorted_route_solve(monkeypatch):
+    """SSTPU_SOLVE_SORT=1: class-sorted pass-up buffers (one batch
+    permutation per child group; classes read static slices, backward
+    writes static update-slices). Pair-class sources are disjoint per
+    child group (tree-edge routing), so results match exactly."""
+    from suitesparse_tpu.numeric import supernodal_device, supernodal_solve
+    from suitesparse_tpu.numeric.supernodal_solve import _sorted_route
+
+    A = fixtures.laplacian_3d(9)
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal_device.factorize_device(A, S)
+    b = 1.0 + np.arange(A.ncol) / A.ncol
+    monkeypatch.setenv("SSTPU_SOLVE_INV", "1")
+    monkeypatch.setenv("SSTPU_SOLVE_W2", "1")
+    S._solve_cache = None
+    F._winv = None
+    x0 = supernodal_solve.solve_device(F, b)
+    monkeypatch.setenv("SSTPU_SOLVE_SORT", "1")
+    S._solve_cache = None
+    F._winv = None
+    x1 = supernodal_solve.solve_device(F, b)
+    assert residual_norm(A, x1, b) < 1e-5
+    scale = np.abs(x0).max()
+    assert np.allclose(x1, x0, atol=2e-6 * scale, rtol=2e-6)
+    # invariants of the sort maps: disjoint coverage, offsets partition
+    smap, cmap = _sorted_route(S._device_plan)
+    for (key, (cat, inv, ncat)) in smap.items():
+        assert len(np.unique(cat)) == len(cat) == ncat
+        B_c = S._device_plan.groups[key[0]][key[1]].B
+        assert (inv[cat] == np.arange(ncat)).all()
+        assert inv.shape == (B_c,)
+    # multi-RHS
+    B = np.stack([b, -2.0 * b], axis=1)
+    X = supernodal_solve.solve_device(F, B)
+    for k in range(2):
+        assert residual_norm(A, X[:, k], B[:, k]) < 1e-5
+
+
 def test_fused_route_solve(monkeypatch):
     """SSTPU_SOLVE_FUSE_ROUTE=1: per-dest-group fused pair routing (one
     padded placement per group instead of one per class) must match the
