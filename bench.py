@@ -137,7 +137,11 @@ def main() -> None:
     NR = 64
     B64 = np.tile(b.reshape(-1, 1), (1, NR)) * (1.0 + np.arange(NR) / NR)
     x64 = supernodal_solve.solve_device(F, B64, cfg)     # compile + gate
-    assert sst.residual_norm(A, x64[:, 0], B64[:, 0]) < 1e-2
+    resid64 = sst.residual_norm(A, x64[:, 0], B64[:, 0])
+    # multi-RHS solves are REAL matmuls on TPU: the precision context
+    # (config.precision, round-5 fix) must keep them fp32-true — the
+    # bf16-default regression showed up only at nrhs>1 (1.6e-3)
+    assert resid64 < 1e-4, f"solve64 residual {resid64}"
     sfn64, sargs64 = supernodal_solve.solve_dispatch(F, B64, cfg)
     _ = float(jnp.sum(sfn64(*sargs64)))
     t_solve64 = float("inf")
@@ -230,6 +234,7 @@ def main() -> None:
         "solve_s": round(t_solve, 4),
         "solve64_s": round(t_solve64, 4),
         "solve64_gflops": round(4 * S.lnz * NR / t_solve64 / 1e9, 1),
+        "residual64": float(resid64),
         "latency_s": round(t_latency, 4),
         "pipeline_depth": K,
         "first_call_s": round(t_first, 2),

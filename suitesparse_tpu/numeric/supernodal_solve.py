@@ -67,8 +67,10 @@ def _use_inv_solve(nrhs: int) -> bool:
 
 
 def _use_w2(nrhs: int) -> bool:
-    """Stacked inverse-panel policy (SSTPU_SOLVE_W2=auto|1|0, default 0
-    until the TPU A/B records a win).
+    """Stacked inverse-panel policy (SSTPU_SOLVE_W2=auto|1|0; default
+    auto = on-TPU — the round-5 A/B: w2+fine 6.75 ms vs the r4 default
+    inv+coarse 9.90 ms at n=125k 1 RHS, 18.6 vs 26.7 ms at 64 RHS with
+    the precision fix, residual unchanged).
 
     With W = L11^{-1}, precompute the STACKED panel W2 = [W ; L21 @ W]
     (R x C) once per factor. Then each solve group needs exactly ONE
@@ -81,10 +83,6 @@ def _use_w2(nrhs: int) -> bool:
     panel bytes per sweep exactly R*C (the factor's L21 is no longer
     read during sweeps). Reference analog: the dtrsv+dgemv pair per
     supernode in t_cholmod_super_solve.c:89-173 collapsed to one gemv."""
-    import os
-
-    if os.environ.get("SSTPU_SOLVE_W2", "0") == "0":
-        return False
     return _mode_policy("SSTPU_SOLVE_W2", nrhs)
 
 
@@ -299,8 +297,16 @@ _SOLVE_C_POW2 = [16, 32, 64, 128, 256, 512]
 
 
 def _use_coarse_solve(nrhs: int) -> bool:
-    """Coarse solve-plan policy (SSTPU_SOLVE_COARSE=auto|1|0): pow4
-    re-bucketing cuts sequential steps ~3.6x at ~2x panel-gather traffic."""
+    """Coarse solve-plan policy (SSTPU_SOLVE_COARSE=auto|1|0; default
+    now OFF): pow4 re-bucketing cuts sequential steps ~3.6x at ~2x
+    panel-gather traffic — it won round 4's inv-mode A/B, but with the
+    stacked w2 panels the FINE plan wins at both ends (6.75 vs 7.57 ms
+    at 1 RHS, 18.6 vs 26.7 at 64; the pow2 middle ladder was also
+    measured and lost, 7.35 — byte inflation beats thunk savings)."""
+    import os
+
+    if os.environ.get("SSTPU_SOLVE_COARSE", "0") == "0":
+        return False
     return _mode_policy("SSTPU_SOLVE_COARSE", nrhs)
 
 
