@@ -39,21 +39,36 @@ def main() -> None:
     M = A.to_full_storage()
     M.data = M.data + 0.2 * rng.standard_normal(M.nnz)
     b = np.ones(M.ncol)
+    # one-shot end-to-end latency (analyze + plan + compile + solve)
     t0 = time.time()
     x = mflu_unsym.mflusol_unsym(M, b, sst.DEFAULT)
     t_first = time.time() - t0
     resid = sst.residual_norm(M, x, b)
+    # the reference row is umfpack's NUMERIC REPEAT (symbolic cached) —
+    # the analyze-once/factor-many contract. Match it: analyze once,
+    # then time factor+solve with the symbolic (plan + compiled program)
+    # cached, values fresh each call.
     t0 = time.time()
-    x = mflu_unsym.mflusol_unsym(M, b, sst.DEFAULT)
-    t_repeat = time.time() - t0
+    SL = mflu_unsym.analyze_mflu_unsym(M, sst.DEFAULT)
+    t_analyze = time.time() - t0
+    _ = mflu_unsym.lu_unsym_solve_device(M, b, sst.DEFAULT, SL=SL)  # warm
+    t_steady = float("inf")
+    for _trial in range(3):
+        t0 = time.time()
+        x2 = mflu_unsym.lu_unsym_solve_device(M, b, sst.DEFAULT, SL=SL)
+        t_steady = min(t_steady, time.time() - t0)
+    resid2 = sst.residual_norm(M, np.asarray(x2, dtype=np.float64), b)
     print(json.dumps({
         "metric": "mflu_unsym_solve",
         "n": M.ncol, "nnz": M.nnz,
-        "first_s": round(t_first, 3), "repeat_s": round(t_repeat, 3),
-        "residual": float(resid),
+        "first_s": round(t_first, 3),
+        "analyze_s": round(t_analyze, 3),
+        "steady_factor_solve_s": round(t_steady, 3),
+        "residual": float(resid), "residual_steady": float(resid2),
         "platform": jax.devices()[0].platform,
         "reference_umfpack_this_host": {
-            "numeric_repeat_s": 3.03, "solve_s": 0.0425,
+            "symbolic_s": 0.062, "numeric_repeat_s": 3.03,
+            "solve_s": 0.0425,
             "flops": 1.01e10, "note": "netlib BLAS, 1 core"},
     }))
 
