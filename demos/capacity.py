@@ -52,10 +52,19 @@ def _matrix():
     nx = int(os.environ.get("CAP_NX", "80"))
     kind = os.environ.get("CAP_MATRIX", "regular")
     if kind == "aniso":
-        A = fixtures.anisotropic_laplacian_3d(nx, grade=2.0, drop_tol=0.03)
+        # the docs/IRREGULAR.md row: anisotropic VALUES on the full 7-point
+        # pattern (fill ratio ~2x the regular problem; fl=3.0e11 at nx=60).
+        # NOTE the graded/dropped variant (grade=2.0, drop_tol=0.03)
+        # structurally decouples the mesh (lnz ~5M at nx=60) — measured,
+        # rejected as a capacity fixture.
+        A = fixtures.anisotropic_laplacian_3d(nx)
         return A, f"aniso3d_{nx}"
     if kind == "fem":
         return fixtures.fem_mesh_spd(nx ** 3, seed=1), f"fem_{nx**3}"
+    if kind == "amp":
+        A = fixtures.pattern_amplifier(fixtures.fem_mesh_spd(30000, seed=1),
+                                       block=8)
+        return A, "amp_fem30k_b8"
     return fixtures.laplacian_3d(nx), f"laplacian3d_{nx}"
 
 

@@ -20,6 +20,9 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
+
 CONFIGS = [
     # (name, env)
     ("inv_coarse", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "1"}),
@@ -70,12 +73,21 @@ CONFIGS = [
     ("w2_pow2_route0", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "1",
                         "SSTPU_SOLVE_LADDER": "pow2", "SSTPU_SOLVE_W2": "1",
                         "SSTPU_SOLVE_ABLATE": "route"}),
+    # NOTE: SSTPU_SOLVE_SORT defaults ON since the round-5 A/B; merge
+    # configs must disable it (mutually exclusive paths)
+    ("w2_fine_merge", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
+                       "SSTPU_SOLVE_W2": "1", "SSTPU_SOLVE_MERGE": "1",
+                       "SSTPU_SOLVE_SORT": "0"}),
+    ("inv_fine_merge", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
+                        "SSTPU_SOLVE_MERGE": "1", "SSTPU_SOLVE_SORT": "0"}),
+    ("w2_fine_nosort", {"SSTPU_SOLVE_INV": "1", "SSTPU_SOLVE_COARSE": "0",
+                        "SSTPU_SOLVE_W2": "1", "SSTPU_SOLVE_SORT": "0"}),
 ]
 
 _KNOBS = ["SSTPU_SOLVE_INV", "SSTPU_SOLVE_COARSE", "SSTPU_SOLVE_W2",
           "SSTPU_SOLVE_BMV", "SSTPU_SOLVE_ABLATE", "SSTPU_BMV_BMIN",
           "SSTPU_SOLVE_FUSE_ROUTE", "SSTPU_SOLVE_PMV", "SSTPU_SOLVE_SORT",
-          "SSTPU_SOLVE_LADDER"]
+          "SSTPU_SOLVE_LADDER", "SSTPU_SOLVE_MERGE"]
 
 
 def main() -> None:

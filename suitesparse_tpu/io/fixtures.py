@@ -42,8 +42,11 @@ def have_reference() -> bool:
 
 
 def load_triplet_file(path: str, sym: int = 0) -> CSC:
-    """Read a 0-based ``row col value`` triplet text file (cs_load format)."""
+    """Read a 0-based ``row col value`` triplet text file (cs_load format).
+    Four-column lines are complex ``row col re im`` (the cxsparse demo
+    format, reference CXSparse/Demo/cs_demo.c czload)."""
     rows, cols, vals = [], [], []
+    cplx = False
     with open(path) as f:
         for line in f:
             parts = line.split()
@@ -51,10 +54,14 @@ def load_triplet_file(path: str, sym: int = 0) -> CSC:
                 continue
             rows.append(int(parts[0]))
             cols.append(int(parts[1]))
-            vals.append(float(parts[2]) if len(parts) > 2 else 1.0)
+            if len(parts) >= 4:
+                cplx = True
+                vals.append(complex(float(parts[2]), float(parts[3])))
+            else:
+                vals.append(float(parts[2]) if len(parts) > 2 else 1.0)
     r = np.array(rows, dtype=np.int64)
     c = np.array(cols, dtype=np.int64)
-    x = np.array(vals)
+    x = np.array(vals, dtype=complex if cplx else np.float64)
     nrow = int(r.max()) + 1 if r.size else 0
     ncol = int(c.max()) + 1 if c.size else 0
     if sym == 1:
@@ -74,17 +81,25 @@ _DEMO_SYM = {
 
 
 def load_demo(name: str) -> CSC:
-    """Load a reference CSparse demo matrix by name (requires the mount)."""
+    """Load a reference CSparse/CXSparse demo matrix by name (requires the
+    mount).  Complex demos (``c4``, ``c_ibm32a``, ...) live under
+    CXSparse/Matrix in the 4-column complex triplet format."""
     path = os.path.join(REFERENCE_ROOT, "CSparse", "Matrix", name)
-    sym = _DEMO_SYM.get(name, 0)
+    if not os.path.exists(path):
+        path = os.path.join(REFERENCE_ROOT, "CXSparse", "Matrix", name)
+    sym = _DEMO_SYM.get(name, 1 if name in ("c4", "mhd1280b") else 0)
     A = load_triplet_file(path, sym=0)
     if sym == 1:
-        # files store the lower triangle of a symmetric matrix;
-        # convert to our upper-stored convention
+        # files store the lower triangle of a symmetric (complex:
+        # Hermitian) matrix; convert to our upper-stored convention —
+        # entries that flip triangle conjugate under the Hermitian rule
         cols = np.repeat(np.arange(A.ncol, dtype=np.int64), np.diff(A.indptr))
+        data = A.data
+        if np.iscomplexobj(data):
+            data = np.where(A.indices > cols, np.conj(data), data)
         return from_triplets(max(A.nrow, A.ncol), max(A.nrow, A.ncol),
                              np.minimum(A.indices, cols),
-                             np.maximum(A.indices, cols), A.data, sym=1)
+                             np.maximum(A.indices, cols), data, sym=1)
     return A
 
 

@@ -47,6 +47,7 @@ XLA strategies (padding would dominate).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -294,6 +295,21 @@ def extend_add_tiles(F, Ucat, man, rowmap, colmap, interpret: bool = False):
 
     NS = man.shape[0]
     T = rowmap.shape[-1]
+    # SMEM budget: the manifest rides as a scalar-prefetch operand and
+    # must fit TPU scalar memory (1 MB on v5e; a 45k-step irregular-plan
+    # group overflowed it — aniso3d_60 capacity run).  Chunk the grid into
+    # sequential pallas_calls chained through the F io-alias; tile coords
+    # in ``man`` are absolute, so slicing the step axis is sound.
+    smem_budget = int(os.environ.get("SSTPU_TILE_SMEM", str(512 * 1024)))
+    ns_max = max(1024, smem_budget // (man.shape[1] * 4))
+    if NS > ns_max:
+        nchunk = -(-NS // ns_max)
+        step = -(-NS // nchunk)
+        for k0 in range(0, NS, step):
+            k1 = min(NS, k0 + step)
+            F = extend_add_tiles(F, Ucat, man[k0:k1], rowmap[k0:k1],
+                                 colmap[k0:k1], interpret=interpret)
+        return F
     if man.shape[1] == 14:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,

@@ -850,15 +850,25 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
     # small per-class placements run as VPU loop fusions. Kept opt-in as
     # the record.
     _fuse = _os.environ.get("SSTPU_SOLVE_FUSE_ROUTE", "0") == "1"
-    # SSTPU_SOLVE_SORT=1: class-sorted pass-up buffers — ONE batch
-    # permutation gather per child group; each class then reads a static
-    # contiguous slice (fuses into its placement) and the backward
-    # per-class scatter becomes a static update-slice. Targets the
-    # routing-thunk chain the ablation decomposition showed is the
-    # critical path (panel0 6.38 of 6.78 ms at n=125k).
-    _sort = (_os.environ.get("SSTPU_SOLVE_SORT", "0") == "1"
+    # SSTPU_SOLVE_SORT=1 (DEFAULT per the round-5 TPU A/B): class-sorted
+    # pass-up buffers — ONE batch permutation gather per child group; each
+    # class then reads a static contiguous slice (fuses into its
+    # placement) and the backward per-class scatter becomes a static
+    # update-slice. Measured twice at n=125k 1 RHS on v5e: 6.41 vs 6.68
+    # and 6.51 vs 6.91 ms (w2+fine); the RU_c-bucket class merge
+    # (SSTPU_SOLVE_MERGE) measured NO win (6.64) — the routing cost is
+    # scheduling/dependency structure, not thunk count.
+    _sort = (_os.environ.get("SSTPU_SOLVE_SORT", "1") == "1"
              and not _fuse and not _ablate)
     smap, cmap = _sorted_route(plan) if _sort else ({}, {})
+    # SSTPU_SOLVE_MERGE=1: RU_c-bucketed class merging + one global rhs
+    # pre-gather (see _merged_route/_pb_pregather) — fewer routing and
+    # glue thunks on the sequential sweep chain, bit-identical results.
+    _merge = (_os.environ.get("SSTPU_SOLVE_MERGE", "0") == "1"
+              and not _fuse and not _sort and not _ablate)
+    if _merge:
+        _pbidx, _pboffs = _pb_pregather(solve_plan)
+        pbcat = pb[jnp.asarray(_pbidx)]          # (sum B*C, nrhs)
 
     # ---------------- forward: leaves -> root ----------------
     up = {}       # (level, gi) -> pass-up contribution vectors (B, RU, nrhs)
@@ -879,6 +889,17 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                 P = (iota == idxcat[:, None, :]).astype(dtype)
                 placed = jnp.matmul(P, V, preferred_element_type=dtype)
                 w = w.at[dstcat].add(placed)
+            elif _merge and fg.pairs:
+                for (idxcat, dstcat, metas) in _merged_route(fg):
+                    Vs = [up[(sl, sgi)][src]
+                          for (sl, sgi, src, _k0, _k1) in metas]
+                    V = Vs[0] if len(Vs) == 1 else jnp.concatenate(Vs,
+                                                                   axis=0)
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, R, idxcat.shape[1]), 1)
+                    P = (iota == idxcat[:, None, :]).astype(dtype)
+                    placed = jnp.matmul(P, V, preferred_element_type=dtype)
+                    w = w.at[dstcat].add(placed)
             else:
                 for ci, (pc, (src, dst, idx)) in enumerate(zip(
                         [] if _ablate == "route" else fg.pairs,
@@ -894,7 +915,12 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                     P = (iota == idx[:, None, :]).astype(dtype)
                     placed = jnp.matmul(P, V, preferred_element_type=dtype)
                     w = w.at[dst].add(placed, indices_are_sorted=True)
-            yc = pb[sg.col_idx].reshape(B, C, nrhs) - w[:, :C, :]
+            if _merge:
+                off = _pboffs[(d, gi)]
+                pbg = jax.lax.slice_in_dim(pbcat, off, off + B * C)
+            else:
+                pbg = pb[sg.col_idx]
+            yc = pbg.reshape(B, C, nrhs) - w[:, :C, :]
             if _ablate == "panel":
                 yfwd[(d, gi)] = yc
                 if RU > 0:
@@ -1094,6 +1120,27 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
                                         dtype=dtype)
                     xb[key] = buf.at[src].set(childx[k0:k1, :ruc],
                                               unique_indices=True)
+            elif fg.pairs and _ablate != "route" and _merge:
+                fx = jnp.concatenate([xc, below[:, :RU]], axis=1) \
+                    if RU > 0 else xc
+                for (idxcat, dstcat, metas) in _merged_route(fg):
+                    rows = fx[dstcat]                       # (npt, R, nrhs)
+                    iota = jax.lax.broadcasted_iota(
+                        jnp.int32, (1, R, idxcat.shape[1]), 1)
+                    P = (iota == idxcat[:, None, :]).astype(dtype)
+                    childx = jnp.matmul(jnp.swapaxes(P, 1, 2), rows,
+                                        preferred_element_type=dtype)
+                    for (sl, sgi, src, k0, k1) in metas:
+                        key = (sl, sgi)
+                        buf = xb.get(key)
+                        if buf is None:
+                            cg = plan.groups[sl][sgi]
+                            buf = jnp.zeros(
+                                (cg.B, max(cg.R - cg.C, 1), nrhs),
+                                dtype=dtype)
+                        part = childx if len(metas) == 1 else \
+                            jax.lax.slice_in_dim(childx, k0, k1)
+                        xb[key] = buf.at[src].set(part, unique_indices=True)
             elif fg.pairs and _ablate != "route":
                 fx = jnp.concatenate([xc, below[:, :RU]], axis=1) \
                     if RU > 0 else xc
@@ -1169,6 +1216,56 @@ def _sorted_route(plan):
         sr = (groups_map, class_map)
         plan._solve_sortmap = sr
     return sr
+
+
+def _merged_route(fg):
+    """Per-dest-group pair classes bucketed by EXACT RU_c (cached on the
+    GroupPlan): classes in one bucket concatenate along the pair axis with
+    ZERO padding (same row-map width), so k classes cost one placement
+    matmul + one scatter-add instead of k of each.  At n=125k this takes
+    the fine plan's 800 classes to 517 buckets (the fully-fused variant —
+    one RUmax-padded placement per group — measured SLOWER on v5e; this
+    is the no-pad middle ground).  Returns a list of buckets
+    [(idxcat (npt, RU_c), dstcat (npt,), metas)] with
+    metas = [(src_level, src_gi, src, k0, k1), ...]."""
+    mr = getattr(fg, "_solve_merged", None)
+    if mr is None:
+        byru: dict = {}
+        for pc, (src, dst, idx) in zip(fg.pairs, fg._pair_arrays):
+            byru.setdefault(pc.RU_c, []).append((pc, src, dst, idx))
+        mr = []
+        for ru, lst in byru.items():
+            k0, metas = 0, []
+            for (pc, src, dst, idx) in lst:
+                metas.append((pc.src_level, pc.src_gi, src, k0,
+                              k0 + src.size))
+                k0 += src.size
+            mr.append((np.concatenate([idx for (_p, _s, _d, idx) in lst],
+                                      axis=0),
+                       np.concatenate([d for (_p, _s, d, _i) in lst]),
+                       metas))
+        fg._solve_merged = mr
+    return mr
+
+
+def _pb_pregather(solve_plan):
+    """ONE rhs gather for the whole sweep: concatenated col_idx across
+    every group plus per-group offsets (cached on the SolvePlan).  Each
+    group's ``pb[sg.col_idx]`` becomes a static slice of the single
+    gathered buffer (fuses into its panel matvec) instead of issuing its
+    own gather thunk."""
+    pg = getattr(solve_plan, "_pb_pregather", None)
+    if pg is None:
+        idxs, offs = [], {}
+        off = 0
+        for d, gl in enumerate(solve_plan.groups):
+            for gi, sg in enumerate(gl):
+                idxs.append(sg.col_idx)
+                offs[(d, gi)] = off
+                off += sg.col_idx.size
+        pg = (np.concatenate(idxs) if idxs else np.empty(0, np.int64), offs)
+        solve_plan._pb_pregather = pg
+    return pg
 
 
 def _fused_route(fg):
@@ -1264,7 +1361,8 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
            # arg structure must key the compiled-fn cache
            _os.environ.get("SSTPU_SOLVE_ABLATE", ""),
            _os.environ.get("SSTPU_SOLVE_FUSE_ROUTE", "0"),
-           _os.environ.get("SSTPU_SOLVE_SORT", "0"),
+           _os.environ.get("SSTPU_SOLVE_SORT", "1"),
+           _os.environ.get("SSTPU_SOLVE_MERGE", "0"),
            config.precision)
     cache = getattr(S, "_solve_cache", None)
     if not isinstance(cache, dict):

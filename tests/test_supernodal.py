@@ -423,6 +423,53 @@ def test_sorted_route_solve(monkeypatch):
         assert residual_norm(A, X[:, k], B[:, k]) < 1e-5
 
 
+def test_merged_route_solve(monkeypatch):
+    """SSTPU_SOLVE_MERGE=1: RU_c-bucketed class merging + the global rhs
+    pre-gather.  Same-width classes concatenate with zero padding, so the
+    only numeric difference vs the per-class loop is fp32 scatter-add
+    ORDER on overlapping dest rows; results match to add-order tolerance
+    and the bucket arrays partition the original classes exactly."""
+    from suitesparse_tpu.numeric import supernodal_device, supernodal_solve
+    from suitesparse_tpu.numeric.supernodal_solve import _merged_route
+
+    A = fixtures.laplacian_3d(9)
+    S = analyze_supernodal(A, amd_order(A))
+    F = supernodal_device.factorize_device(A, S)
+    b = 1.0 + np.arange(A.ncol) / A.ncol
+    for w2 in ("0", "1"):
+        monkeypatch.setenv("SSTPU_SOLVE_INV", "1")
+        monkeypatch.setenv("SSTPU_SOLVE_W2", w2)
+        monkeypatch.delenv("SSTPU_SOLVE_MERGE", raising=False)
+        S._solve_cache = None
+        F._winv = None
+        x0 = supernodal_solve.solve_device(F, b)
+        monkeypatch.setenv("SSTPU_SOLVE_MERGE", "1")
+        S._solve_cache = None
+        F._winv = None
+        x1 = supernodal_solve.solve_device(F, b)
+        assert residual_norm(A, x1, b) < 1e-5
+        scale = np.abs(x0).max()
+        assert np.allclose(x1, x0, atol=2e-6 * scale, rtol=2e-6)
+    # bucket invariants: every class appears in exactly one bucket, with
+    # matching widths and a contiguous [k0, k1) partition
+    for gl in S._device_plan.groups:
+        for g in gl:
+            mr = _merged_route(g)
+            npairs = sum(len(metas) for (_i, _d, metas) in mr)
+            assert npairs == len(g.pairs)
+            for (idxcat, dstcat, metas) in mr:
+                assert idxcat.shape[0] == dstcat.shape[0] == metas[-1][4]
+                prev = 0
+                for (_sl, _sgi, src, k0, k1) in metas:
+                    assert k0 == prev and k1 - k0 == src.size
+                    prev = k1
+    # multi-RHS path
+    B = np.stack([b, -2.0 * b], axis=1)
+    X = supernodal_solve.solve_device(F, B)
+    for k in range(2):
+        assert residual_norm(A, X[:, k], B[:, k]) < 1e-5
+
+
 def test_fused_route_solve(monkeypatch):
     """SSTPU_SOLVE_FUSE_ROUTE=1: per-dest-group fused pair routing (one
     padded placement per group instead of one per class) must match the
