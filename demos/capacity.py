@@ -53,11 +53,14 @@ def _matrix():
     kind = os.environ.get("CAP_MATRIX", "regular")
     if kind == "aniso":
         # the docs/IRREGULAR.md row: anisotropic VALUES on the full 7-point
-        # pattern (fill ratio ~2x the regular problem; fl=3.0e11 at nx=60).
-        # NOTE the graded/dropped variant (grade=2.0, drop_tol=0.03)
-        # structurally decouples the mesh (lnz ~5M at nx=60) — measured,
-        # rejected as a capacity fixture.
-        A = fixtures.anisotropic_laplacian_3d(nx)
+        # pattern (fill ratio ~2x the regular problem; fl=3.0e11 at nx=60;
+        # lnz/flops are eps-independent — the pattern is what stresses the
+        # plan). eps spans 100x, not the default 1e4x: cond ~ nx^2/eps_min
+        # = 3.6e7 at the default broke the fp32 factor (ok=False, measured
+        # on TPU); 3.6e5 is fp32-safe. NOTE ALSO the graded/dropped variant
+        # (grade=2.0, drop_tol=0.03) structurally decouples the mesh
+        # (lnz ~5M at nx=60) — measured, rejected as a capacity fixture.
+        A = fixtures.anisotropic_laplacian_3d(nx, eps=(1.0, 0.1, 0.01))
         return A, f"aniso3d_{nx}"
     if kind == "fem":
         return fixtures.fem_mesh_spd(nx ** 3, seed=1), f"fem_{nx**3}"

@@ -295,13 +295,18 @@ def extend_add_tiles(F, Ucat, man, rowmap, colmap, interpret: bool = False):
 
     NS = man.shape[0]
     T = rowmap.shape[-1]
-    # SMEM budget: the manifest rides as a scalar-prefetch operand and
-    # must fit TPU scalar memory (1 MB on v5e; a 45k-step irregular-plan
-    # group overflowed it — aniso3d_60 capacity run).  Chunk the grid into
-    # sequential pallas_calls chained through the F io-alias; tile coords
-    # in ``man`` are absolute, so slicing the step axis is sound.
-    smem_budget = int(os.environ.get("SSTPU_TILE_SMEM", str(512 * 1024)))
-    ns_max = max(1024, smem_budget // (man.shape[1] * 4))
+    # SMEM budget: Mosaic materializes each per-step map operand (rowmap /
+    # colmap, and the scalar-prefetched man) as a single SMEM-resident
+    # buffer for the whole call, and any ONE operand past the ~1 MB scalar
+    # arena fails the compile — measured on v5e: a 3,583-step irregular
+    # group's (3584, 1, 128) i32 rowmap = 1,835,008 B is rejected while
+    # n=125k's largest (1,659-step, 851,968 B) compiles.  Chunk the grid so
+    # every per-call map operand stays under the budget; sequential calls
+    # chain through the F io-alias, and tile coordinates in ``man`` are
+    # absolute so slicing the step axis is sound.
+    smem_budget = int(os.environ.get("SSTPU_TILE_SMEM", str(832 * 1024)))
+    per_step = rowmap.shape[1] * T * 4
+    ns_max = max(8, smem_budget // per_step)
     if NS > ns_max:
         nchunk = -(-NS // ns_max)
         step = -(-NS // nchunk)

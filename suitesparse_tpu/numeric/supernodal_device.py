@@ -824,15 +824,6 @@ def _group_compute(g: GroupPlan, ix, Cdata, updates, dtype, cstr=None,
         use_tile, interp = _tile_runtime(dtype, udtype)
         if use_tile:
             man, rmp, cmp_ = ix["tile"]
-            if token is not None:
-                # the manifest is the kernel's scalar-prefetch operand;
-                # without a dependency on the serialization token XLA
-                # hoists EVERY group's HBM->SMEM manifest prefetch to
-                # program start and the overlapping live ranges blow the
-                # 1 MB SMEM arena (first seen: aniso3d_60 segment with
-                # 1.7 MB of total manifests). Gating on the token bounds
-                # live SMEM to one group's manifest.
-                man, _ = jax.lax.optimization_barrier((man, token))
             Ucat = jnp.zeros((max(tm.nslots, 1), tm.RUp, tm.RUp),
                              dtype=dtype)
             for (_ci, k0, key, RU_c, src) in tm.uslices:

@@ -614,6 +614,33 @@ def test_coarse_inv_solve_after_segmented_factorize(monkeypatch):
                          b) < 1e-14
 
 
+def test_tile_smem_chunking(monkeypatch):
+    """SSTPU_TILE_SMEM: any ONE tile-kernel call whose per-step map operand
+    would exceed the SMEM arena (the aniso3d_60 1.8 MB rowmap compile
+    failure) must be grid-chunked into sequential calls chained on the F
+    io-alias — bit-identical to the unchunked kernel (disjoint step
+    slices, absolute tile coordinates)."""
+    monkeypatch.setenv("SSTPU_PLACE", "tile")
+    monkeypatch.setenv("SSTPU_TILE_RMIN", "32")
+    from suitesparse_tpu.numeric import supernodal_device as sd
+
+    A = fixtures.laplacian_3d(8)
+    S = analyze_supernodal(A, amd_order(A))
+    F0 = sd.factorize_device(A, S)
+    plan = S._device_plan
+    nss = [getattr(g, "_tile").man.shape[0]
+           for gl in plan.groups for g in gl
+           if getattr(g, "_tile", None) is not None]
+    assert nss, "no tile manifests built — RMIN gate failed to engage"
+    # budget below the largest call's map operand => it must chunk
+    T = 128
+    budget = (max(nss) // 2) * T * 4
+    monkeypatch.setenv("SSTPU_TILE_SMEM", str(max(budget, 1)))
+    S2 = analyze_supernodal(A, amd_order(A))
+    F1 = sd.factorize_device(A, S2)
+    assert np.array_equal(F0.lx_host(), F1.lx_host())
+
+
 def test_solve_dispatch_matches_solve_device(monkeypatch):
     """bench times the solve through solve_dispatch: the (fn, args) it
     returns must compute exactly what solve_device returns, in every mode."""
