@@ -312,7 +312,19 @@ def extend_add_tiles(F, Ucat, man, rowmap, colmap, interpret: bool = False):
         step = -(-NS // nchunk)
         for k0 in range(0, NS, step):
             k1 = min(NS, k0 + step)
-            F = extend_add_tiles(F, Ucat, man[k0:k1], rowmap[k0:k1],
+            mc = man[k0:k1]
+            # a chunk boundary can split one tile's (sorted, consecutive)
+            # step run; on real TPU a revisited output block is NOT
+            # reloaded from HBM at call start (the r2 io-alias lesson —
+            # interpret mode hides this), so the split tile's first step
+            # here must re-init from fin, which — through the io-alias —
+            # already holds the previous chunk's partial accumulation.
+            if isinstance(mc, np.ndarray):
+                mc = mc.copy()
+                mc[0, 3] = 1
+            else:
+                mc = mc.at[0, 3].set(1)   # traced jit arg (segment path)
+            F = extend_add_tiles(F, Ucat, mc, rowmap[k0:k1],
                                  colmap[k0:k1], interpret=interpret)
         return F
     if man.shape[1] == 14:
