@@ -45,10 +45,12 @@ def lane_block(C: int, RU: int, itemsize: int = 4,
     for whether it forces a multi-step grid."""
     per_lane_1 = 2 * (C * C + max(RU, 1) * C) * itemsize    # in+out refs
     budget = 15.2e6
-    # headroom: Mosaic materializes in-kernel temporaries (~0.5x the refs);
-    # a multi-step grid additionally double-buffers the refs (measured:
-    # C=16 RU=32 BB=896 nb=2 allocated 16.70M against the 16.00M limit)
-    bb1 = int(budget // max(per_lane_1 * 3 // 2, 1)) // 128 * 128
+    # headroom: Mosaic materializes in-kernel temporaries — measured
+    # 0.78x the refs at C=16/RU=128/BB=512 (16.82M total vs the 16.00M
+    # scoped limit, fem_148k capacity run), so budget 2x refs for the
+    # single-step grid; a multi-step grid additionally double-buffers the
+    # refs (measured: C=16 RU=32 BB=896 nb=2 allocated 16.70M)
+    bb1 = int(budget // max(per_lane_1 * 2, 1)) // 128 * 128
     bb2 = int(budget // max(3 * per_lane_1, 1)) // 128 * 128
     bb1 = min(1024, bb1)
     bb2 = min(1024, bb2)
