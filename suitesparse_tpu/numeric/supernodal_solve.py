@@ -1353,8 +1353,17 @@ def solve_device(F: SupernodalFactor, b: np.ndarray,
     one_d = b.ndim == 1
     bb = b.reshape(-1, 1) if one_d else b
     pb = bb[S.perm]
-    use_inv = layout == "device" and _use_inv_solve(bb.shape[1])
     import os as _os
+    # HBM gate for the inverse-panel modes: build_winv peaks at several
+    # factor-sized buffers (Lx arg + Lxp copy + the W/W2 output + jit
+    # double-buffering) and the solve then keeps BOTH Lx and W2 resident.
+    # Measured: n=512k (lx_size 5.4e8 cells) OOMed 18.44G vs 15.75G HBM
+    # at build_winv; the classic trisolve sweep stays in-budget. 6x
+    # lx_size bytes is the conservative peak estimate.
+    _winv_fits = (plan.lx_size * jnp.dtype(dtype).itemsize * 6
+                  <= float(_os.environ.get("SSTPU_WINV_HBM", "1.2e10")))
+    use_inv = (layout == "device" and _use_inv_solve(bb.shape[1])
+               and _winv_fits)
     key = (pkey, str(dtype), bb.shape[1], use_inv,
            id(S._device_plan) if layout == "device" else 0,
            # knobs that change the traced program without changing the
