@@ -850,15 +850,18 @@ def _mf_solve_fn(S: SupernodalSymbolic, plan, solve_plan, Lx, pb, dtype,
     # small per-class placements run as VPU loop fusions. Kept opt-in as
     # the record.
     _fuse = _os.environ.get("SSTPU_SOLVE_FUSE_ROUTE", "0") == "1"
-    # SSTPU_SOLVE_SORT=1 (DEFAULT per the round-5 TPU A/B): class-sorted
-    # pass-up buffers — ONE batch permutation gather per child group; each
-    # class then reads a static contiguous slice (fuses into its
-    # placement) and the backward per-class scatter becomes a static
-    # update-slice. Measured twice at n=125k 1 RHS on v5e: 6.41 vs 6.68
-    # and 6.51 vs 6.91 ms (w2+fine); the RU_c-bucket class merge
+    # SSTPU_SOLVE_SORT=1 (DEFAULT in the latency regime, per the round-5
+    # TPU A/B): class-sorted pass-up buffers — ONE batch permutation
+    # gather per child group; each class then reads a static contiguous
+    # slice (fuses into its placement) and the backward per-class scatter
+    # becomes a static update-slice. Measured twice at n=125k 1 RHS on
+    # v5e: 6.41 vs 6.68 and 6.51 vs 6.91 ms (w2+fine); at 64 RHS the
+    # permute bytes scale with nrhs and COST 0.74 ms (19.25 vs 18.51), so
+    # the default gates at nrhs <= 8. The RU_c-bucket class merge
     # (SSTPU_SOLVE_MERGE) measured NO win (6.64) — the routing cost is
     # scheduling/dependency structure, not thunk count.
     _sort = (_os.environ.get("SSTPU_SOLVE_SORT", "1") == "1"
+             and nrhs <= int(_os.environ.get("SSTPU_SORT_NRHS_MAX", "8"))
              and not _fuse and not _ablate)
     smap, cmap = _sorted_route(plan) if _sort else ({}, {})
     # SSTPU_SOLVE_MERGE=1: RU_c-bucketed class merging + one global rhs
